@@ -1,0 +1,79 @@
+"""Farthest point sampling (FPS).
+
+TPU-native equivalent of `torch_cluster.fps` (used at reference
+model/point_net2.py:22 with ratio 0.25). FPS is inherently sequential —
+argmax of running min-distance — so the reference relies on a CUDA kernel.
+Here the sequential loop is a `lax.fori_loop` over fully vectorized VPU work
+(one (N,) distance update + argmax per step), batched with `vmap`; a Pallas
+kernel that keeps the distance cache in VMEM is provided in
+`pallas_kernels.py` and selected automatically on TPU.
+
+Determinism: the reference's `fps` uses a random start point per call
+(torch_cluster default). We default to a deterministic start (point 0) and
+accept an optional start index for randomized sampling; the sampled set
+differs from the reference run-to-run anyway, and training is robust to it.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+@functools.partial(jax.jit, static_argnames=("n_samples", "use_pallas"))
+def farthest_point_sampling(
+    xyz: jax.Array,
+    n_samples: int,
+    start_idx: jax.Array | int = 0,
+    use_pallas: bool = True,
+) -> jax.Array:
+    """Sample `n_samples` indices by farthest-point sampling.
+
+    Args:
+      xyz: (..., N, 3) positions. Leading axes are batched.
+      n_samples: static number of points to select (= ratio * N).
+      start_idx: first selected index (scalar or per-batch array).
+      use_pallas: take the Pallas VMEM-resident fast path when on TPU.
+
+    Returns:
+      (..., n_samples) int32 indices into N. Selection is without replacement
+      (selected points have distance 0 so never argmax unless the cloud has
+      fewer distinct points than n_samples, matching replacement-padded input
+      semantics of the data layer).
+    """
+    squeeze = xyz.ndim == 2
+    if squeeze:
+        xyz = xyz[None]
+    assert xyz.ndim == 3, "expected (N, 3) or (B, N, 3)"
+    start = jnp.broadcast_to(
+        jnp.asarray(start_idx, jnp.int32), xyz.shape[:1]
+    )
+    if use_pallas and jax.default_backend() == "tpu":
+        from stratanet2_tpu.ops.pallas_kernels import fps_pallas_batched
+
+        out = fps_pallas_batched(xyz, n_samples, start)
+    else:
+        out = jax.vmap(lambda p, s: _fps_lax(p, n_samples, s))(xyz, start)
+    return out[0] if squeeze else out
+
+
+def _fps_lax(xyz: jax.Array, n_samples: int, start_idx: jax.Array) -> jax.Array:
+    """Pure-lax FPS on one (N, 3) cloud."""
+    n = xyz.shape[0]
+    xyz = xyz.astype(jnp.float32)
+
+    def body(i, carry):
+        min_d2, idxs, last = carry
+        diff = xyz - xyz[last]
+        d2 = jnp.sum(diff * diff, axis=-1)
+        min_d2 = jnp.minimum(min_d2, d2)
+        nxt = jnp.argmax(min_d2).astype(jnp.int32)
+        idxs = idxs.at[i].set(nxt)
+        return min_d2, idxs, nxt
+
+    idxs0 = jnp.zeros((n_samples,), jnp.int32).at[0].set(start_idx)
+    min_d2 = jnp.full((n,), jnp.inf, jnp.float32)
+    _, idxs, _ = jax.lax.fori_loop(1, n_samples, body, (min_d2, idxs0, start_idx))
+    return idxs

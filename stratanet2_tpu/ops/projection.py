@@ -1,0 +1,137 @@
+"""In-graph 2D projection of pointwise coverages.
+
+Replaces reference `model/project_to_2d.py` entirely, fused into the jitted
+forward/train step:
+
+- `plotwise_coverages` — reference `project_to_plotwise_coverages`
+  (model/project_to_2d.py:7-55): per-cloud min-max-normalized xy binned into
+  diam_pix cells, per-pixel max of pointwise coverages, bare-soil pixel
+  derived as 1 - low_veg pixel (:42), then the mean over *occupied* pixels
+  gives the (B, 4) plot-level coverages.
+
+- `raster_projection` — reference `project_to_2d_rasters`
+  (model/project_to_2d.py:58-113): absolute-coordinate binning with
+  scaling_factor = 10*diam_pix/diam_meters on the rescaled (x/10) cloud,
+  per-pixel max, NaN for empty pixels, y-flip. The reference runs a Python
+  loop with a fresh nn.MaxPool1d per pixel on CPU (hot loop #3 in SURVEY.md
+  §3.5); here it is one masked segment-max that XLA fuses into the forward.
+
+Both use `jax.ops.segment_max` over a static pixel count (diam_pix^2), the
+TPU-friendly dense formulation of torch_scatter's scatter_max.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+_NEG = -1e30
+
+
+def _pixel_bins_minmax(xy: jax.Array, diam_pix: int) -> jax.Array:
+    """Per-cloud min-max normalized binning (model/project_to_2d.py:16-22).
+
+    xy: (N, 2) -> (N,) flat pixel ids in [0, diam_pix^2).
+    """
+    mn = jnp.min(xy, axis=0, keepdims=True)
+    mx = jnp.max(xy, axis=0, keepdims=True)
+    b = jnp.floor((xy - mn) / (mx - mn + 1e-4) * diam_pix).astype(jnp.int32)
+    b = jnp.clip(b, 0, diam_pix - 1)
+    return b[:, 0] * diam_pix + b[:, 1]
+
+
+@functools.partial(jax.jit, static_argnames=("diam_pix",))
+def plotwise_coverages(
+    coverages_pointwise: jax.Array, xy: jax.Array, diam_pix: int
+) -> jax.Array:
+    """Plot-level coverage scalars from pointwise coverages.
+
+    Args:
+      coverages_pointwise: (B, N, 4) pointwise coverages (proba * density),
+        class order [low_veg, bare_soil, med_veg, high_veg].
+      xy: (B, N, 2) point xy (any affine scale; normalized internally).
+      diam_pix: raster diameter in pixels (static).
+
+    Returns:
+      (B, 4) plot coverages: mean over occupied pixels of
+      [max low_veg, 1 - max low_veg, max med_veg, max high_veg].
+    """
+
+    def one(cov, xy1):
+        pix = _pixel_bins_minmax(xy1, diam_pix)
+        n_seg = diam_pix * diam_pix
+        pix_max = jax.ops.segment_max(
+            cov, pix, num_segments=n_seg, indices_are_sorted=False
+        )  # (P^2, 4); empty segments get -inf
+        occupied = jax.ops.segment_max(
+            jnp.ones((cov.shape[0],), jnp.float32), pix, num_segments=n_seg
+        ) > 0.0
+        pix_max = jnp.where(occupied[:, None], pix_max, 0.0)
+        n_occ = jnp.sum(occupied.astype(jnp.float32))
+        low = pix_max[:, 0]
+        bare = jnp.where(occupied, 1.0 - low, 0.0)
+        med = pix_max[:, 2]
+        high = pix_max[:, 3]
+        sums = jnp.stack(
+            [jnp.sum(low), jnp.sum(bare), jnp.sum(med), jnp.sum(high)]
+        )
+        return sums / jnp.maximum(n_occ, 1.0)
+
+    return jax.vmap(one)(coverages_pointwise, xy)
+
+
+@functools.partial(jax.jit, static_argnames=("diam_pix", "diam_meters"))
+def raster_projection(
+    xy_rescaled: jax.Array,
+    coverages_pointwise: jax.Array,
+    diam_pix: int,
+    diam_meters: int,
+) -> jax.Array:
+    """Project pointwise coverages onto per-stratum rasters (one cloud).
+
+    Args:
+      xy_rescaled: (N, 2) the model-input xy, i.e. centered meters / 10
+        (the scale `project_to_2d_rasters` receives, model/project_to_2d.py:68).
+      coverages_pointwise: (N, 4).
+      diam_pix, diam_meters: static raster geometry.
+
+    Returns:
+      (3, diam_pix, diam_pix) float32 rasters [low, med, high]; NaN where no
+      point projects; y-flipped so row 0 is the northernmost row
+      (model/project_to_2d.py:108-110).
+    """
+    sf = 10.0 * diam_pix / diam_meters
+    b = jnp.floor((xy_rescaled + 1e-4) * sf + diam_meters // 2).astype(jnp.int32)
+    b = jnp.clip(b, 0, diam_pix - 1)
+    k, m = b[:, 0], b[:, 1]  # column (x), row (y) — reference :103 writes [m, k]
+    pix = m * diam_pix + k
+    n_seg = diam_pix * diam_pix
+    pix_max = jax.ops.segment_max(
+        coverages_pointwise, pix, num_segments=n_seg
+    )  # (P^2, 4)
+    occupied = (
+        jax.ops.segment_max(
+            jnp.ones((coverages_pointwise.shape[0],), jnp.float32), pix,
+            num_segments=n_seg,
+        )
+        > 0.0
+    )
+    sel = pix_max[:, jnp.array([0, 2, 3])]  # low, med, high
+    sel = jnp.where(occupied[:, None], sel, jnp.nan)
+    rasters = sel.T.reshape(3, diam_pix, diam_pix)
+    return rasters[:, ::-1, :]  # y-flip
+
+
+@functools.partial(jax.jit, static_argnames=("diam_pix", "diam_meters"))
+def batched_raster_projection(
+    xy_rescaled: jax.Array,
+    coverages_pointwise: jax.Array,
+    diam_pix: int,
+    diam_meters: int,
+) -> jax.Array:
+    """(B, N, 2), (B, N, 4) -> (B, 3, P, P) rasters."""
+    return jax.vmap(
+        lambda xy, cov: raster_projection(xy, cov, diam_pix, diam_meters)
+    )(xy_rescaled, coverages_pointwise)

@@ -1,0 +1,186 @@
+"""Unit tests for the core point-cloud ops against numpy oracles
+(test strategy per SURVEY.md §4: pure-function tests with hand-computable /
+oracle-checked cases)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from stratanet2_tpu.ops import (
+    farthest_point_sampling,
+    ball_query,
+    knn_interpolate,
+    plotwise_coverages,
+    raster_projection,
+)
+
+
+def fps_oracle(xyz, n_samples, start=0):
+    n = xyz.shape[0]
+    sel = [start]
+    d2 = np.full(n, np.inf)
+    for _ in range(n_samples - 1):
+        diff = xyz - xyz[sel[-1]]
+        d2 = np.minimum(d2, np.sum(diff * diff, axis=1))
+        sel.append(int(np.argmax(d2)))
+    return np.array(sel)
+
+
+class TestFPS:
+    def test_matches_oracle(self, rng):
+        xyz = rng.normal(size=(200, 3)).astype(np.float32)
+        got = np.asarray(farthest_point_sampling(jnp.asarray(xyz), 50, use_pallas=False))
+        want = fps_oracle(xyz, 50)
+        np.testing.assert_array_equal(got, want)
+
+    def test_batched(self, rng):
+        xyz = rng.normal(size=(4, 128, 3)).astype(np.float32)
+        got = np.asarray(farthest_point_sampling(jnp.asarray(xyz), 32, use_pallas=False))
+        assert got.shape == (4, 32)
+        for b in range(4):
+            np.testing.assert_array_equal(got[b], fps_oracle(xyz[b], 32))
+
+    def test_no_replacement(self, rng):
+        xyz = rng.normal(size=(100, 3)).astype(np.float32)
+        idx = np.asarray(farthest_point_sampling(jnp.asarray(xyz), 100, use_pallas=False))
+        assert len(set(idx.tolist())) == 100
+
+    def test_pallas_interpret_matches_lax(self, rng):
+        from stratanet2_tpu.ops.pallas_kernels import fps_pallas_batched
+
+        xyz = rng.normal(size=(3, 200, 3)).astype(np.float32)
+        start = jnp.zeros((3,), jnp.int32)
+        got = np.asarray(fps_pallas_batched(jnp.asarray(xyz), 64, start))
+        want = np.asarray(
+            farthest_point_sampling(jnp.asarray(xyz), 64, use_pallas=False)
+        )
+        np.testing.assert_array_equal(got, want)
+
+
+class TestBallQuery:
+    def test_within_radius_and_nearest(self, rng):
+        pts = rng.normal(size=(500, 3)).astype(np.float32)
+        cen = pts[:32]
+        r, k = 0.7, 16
+        idx, mask = ball_query(jnp.asarray(cen), jnp.asarray(pts), r, k)
+        idx, mask = np.asarray(idx), np.asarray(mask)
+        tol = 1e-4  # expanded-form d2 vs direct d2 float32 rounding at the boundary
+        for c in range(32):
+            d2 = np.sum((pts - cen[c]) ** 2, axis=1)
+            inside_lo = np.where(d2 <= r * r - tol)[0]
+            inside_hi = np.where(d2 <= r * r + tol)[0]
+            got = idx[c][mask[c]]
+            # all selected are within radius (tolerance for fp rounding)
+            assert np.all(d2[got] <= r * r + tol)
+            # count within the boundary-ambiguity band
+            cnt = mask[c].sum()
+            assert min(k, len(inside_lo)) <= cnt <= min(k, len(inside_hi))
+            # selected distances are the cnt smallest among candidates
+            np.testing.assert_allclose(
+                np.sort(d2[got]),
+                np.sort(d2[inside_hi])[:cnt],
+                rtol=1e-4, atol=tol,
+            )
+
+    def test_masked_slots_are_zero(self, rng):
+        pts = rng.normal(size=(64, 3)).astype(np.float32) * 100.0
+        cen = jnp.zeros((1, 3))
+        idx, mask = ball_query(cen, jnp.asarray(pts), 0.01, 8)
+        assert not np.any(np.asarray(mask))
+        assert np.all(np.asarray(idx) == 0)
+
+    def test_chunking_invariance(self, rng):
+        pts = rng.normal(size=(300, 3)).astype(np.float32)
+        cen = rng.normal(size=(70, 3)).astype(np.float32)
+        i1, m1 = ball_query(jnp.asarray(cen), jnp.asarray(pts), 1.0, 8, chunk=16)
+        i2, m2 = ball_query(jnp.asarray(cen), jnp.asarray(pts), 1.0, 8, chunk=1024)
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+        np.testing.assert_array_equal(np.asarray(m1), np.asarray(m2))
+
+
+def knn_interpolate_oracle(x, pos_x, pos_y, k):
+    """torch_geometric.nn.knn_interpolate semantics (inverse d^2, clamped)."""
+    out = np.zeros((pos_y.shape[0], x.shape[1]), np.float64)
+    for i in range(pos_y.shape[0]):
+        d2 = np.sum((pos_x - pos_y[i]) ** 2, axis=1)
+        nn = np.argsort(d2)[:k]
+        w = 1.0 / np.maximum(d2[nn], 1e-16)
+        out[i] = (x[nn] * w[:, None]).sum(0) / w.sum()
+    return out
+
+
+class TestKnnInterpolate:
+    @pytest.mark.parametrize("k", [1, 3])
+    def test_matches_oracle(self, rng, k):
+        x = rng.normal(size=(40, 7)).astype(np.float32)
+        pos_x = rng.normal(size=(40, 3)).astype(np.float32)
+        pos_y = rng.normal(size=(90, 3)).astype(np.float32)
+        got = np.asarray(knn_interpolate(jnp.asarray(x), jnp.asarray(pos_x), jnp.asarray(pos_y), k=k))
+        want = knn_interpolate_oracle(x, pos_x, pos_y, k)
+        np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+
+    def test_batched(self, rng):
+        x = rng.normal(size=(2, 20, 4)).astype(np.float32)
+        px = rng.normal(size=(2, 20, 3)).astype(np.float32)
+        py = rng.normal(size=(2, 50, 3)).astype(np.float32)
+        got = np.asarray(knn_interpolate(jnp.asarray(x), jnp.asarray(px), jnp.asarray(py), k=3))
+        assert got.shape == (2, 50, 4)
+        for b in range(2):
+            np.testing.assert_allclose(
+                got[b], knn_interpolate_oracle(x[b], px[b], py[b], 3), rtol=2e-4, atol=2e-5
+            )
+
+
+def plotwise_oracle(cov, xy, p):
+    """Direct numpy transcription of the reference math
+    (model/project_to_2d.py:7-55)."""
+    mn, mx = xy.min(0), xy.max(0)
+    b = np.floor((xy - mn) / (mx - mn + 1e-4) * p).astype(int)
+    flat = b[:, 0] * p + b[:, 1]
+    out = []
+    pix_ids = np.unique(flat)
+    pix_max = np.stack([cov[flat == i].max(0) for i in pix_ids])
+    low = pix_max[:, 0]
+    return np.array([
+        low.mean(),
+        (1 - low).mean(),
+        pix_max[:, 2].mean(),
+        pix_max[:, 3].mean(),
+    ])
+
+
+class TestProjection:
+    def test_plotwise_matches_reference_math(self, rng):
+        n, p = 400, 20
+        cov = rng.uniform(size=(2, n, 4)).astype(np.float32)
+        xy = rng.uniform(-1, 1, size=(2, n, 2)).astype(np.float32)
+        got = np.asarray(plotwise_coverages(jnp.asarray(cov), jnp.asarray(xy), p))
+        for b in range(2):
+            np.testing.assert_allclose(got[b], plotwise_oracle(cov[b], xy[b], p), rtol=1e-5, atol=1e-6)
+
+    def test_raster_matches_reference_math(self, rng):
+        n, p, m = 300, 20, 20
+        cov = rng.uniform(size=(n, 4)).astype(np.float32)
+        # rescaled coords: meters/10, plot radius 10m -> [-1, 1]
+        xy = rng.uniform(-0.95, 0.95, size=(n, 2)).astype(np.float32)
+        got = np.asarray(raster_projection(jnp.asarray(xy), jnp.asarray(cov), p, m))
+        # oracle: reference project_to_2d_rasters (model/project_to_2d.py:58-113)
+        sf = 10 * p / m
+        b = np.floor((xy + 1e-4) * sf + m // 2).astype(int)
+        b = np.clip(b, 0, p - 1)
+        want = np.full((3, p, p), np.nan)
+        for ch_out, ch_in in enumerate([0, 2, 3]):
+            for i in range(n):
+                k, mm = b[i]
+                v = want[ch_out, mm, k]
+                want[ch_out, mm, k] = cov[i, ch_in] if np.isnan(v) else max(v, cov[i, ch_in])
+        want = want[:, ::-1, :]
+        np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-7)
+
+    def test_raster_nan_for_empty(self):
+        cov = jnp.ones((5, 4)) * 0.5
+        xy = jnp.zeros((5, 2))  # all points in one pixel
+        r = np.asarray(raster_projection(xy, cov, 20, 20))
+        assert np.isnan(r).sum() == 3 * (400 - 1)
+        assert np.nansum(r) == pytest.approx(1.5)
