@@ -1,0 +1,121 @@
+"""Minimal functional NN building blocks with explicit param/state pytrees.
+
+Mirrors the reference's MLP blocks — Linear -> ReLU -> BatchNorm1d
+(model/point_net2.py:45-53) — with one TPU-specific extension: **masked**
+batch statistics. The reference flattens variable-length edge lists so every
+row that reaches BatchNorm is real; our dense padded neighborhoods contain
+invalid slots, which must not contribute to the statistics.
+
+Initialization replicates torch defaults (kaiming_uniform(a=sqrt(5)) for
+weights, U(+-1/sqrt(fan_in)) for biases) so training dynamics match the
+reference's.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+Params = Dict[str, Any]
+
+BN_EPS = 1e-5
+BN_MOMENTUM = 0.1
+
+
+def init_linear(key: jax.Array, n_in: int, n_out: int) -> Params:
+    """torch.nn.Linear default init: W, b ~ U(+-1/sqrt(fan_in))."""
+    kw, kb = jax.random.split(key)
+    bound = 1.0 / jnp.sqrt(jnp.float32(n_in))
+    return {
+        "w": jax.random.uniform(kw, (n_in, n_out), jnp.float32, -bound, bound),
+        "b": jax.random.uniform(kb, (n_out,), jnp.float32, -bound, bound),
+    }
+
+
+def linear(p: Params, x: jax.Array, compute_dtype=jnp.float32) -> jax.Array:
+    w = p["w"].astype(compute_dtype)
+    y = jnp.dot(x.astype(compute_dtype), w, preferred_element_type=jnp.float32)
+    return y + p["b"]
+
+
+def init_batchnorm(n: int) -> Tuple[Params, Params]:
+    params = {"scale": jnp.ones((n,), jnp.float32), "bias": jnp.zeros((n,), jnp.float32)}
+    state = {"mean": jnp.zeros((n,), jnp.float32), "var": jnp.ones((n,), jnp.float32)}
+    return params, state
+
+
+def batchnorm(
+    p: Params,
+    s: Params,
+    x: jax.Array,
+    mask: Optional[jax.Array],
+    train: bool,
+) -> Tuple[jax.Array, Params]:
+    """Masked BatchNorm1d over all leading axes of x (..., C).
+
+    mask: broadcastable to x.shape[:-1]; True entries contribute to stats.
+    Matches torch semantics: normalization by biased batch variance, running
+    variance stored unbiased, momentum 0.1 (torch BatchNorm1d defaults).
+    """
+    if train:
+        xf = x.astype(jnp.float32)
+        if mask is None:
+            n = jnp.float32(xf.size // xf.shape[-1])
+            mean = jnp.mean(xf, axis=tuple(range(xf.ndim - 1)))
+            var = jnp.mean((xf - mean) ** 2, axis=tuple(range(xf.ndim - 1)))
+        else:
+            m = mask.astype(jnp.float32)[..., None]
+            n = jnp.maximum(jnp.sum(m), 1.0)
+            axes = tuple(range(xf.ndim - 1))
+            mean = jnp.sum(xf * m, axis=axes) / n
+            var = jnp.sum(((xf - mean) ** 2) * m, axis=axes) / n
+        unbiased = var * n / jnp.maximum(n - 1.0, 1.0)
+        new_s = {
+            "mean": (1 - BN_MOMENTUM) * s["mean"] + BN_MOMENTUM * mean,
+            "var": (1 - BN_MOMENTUM) * s["var"] + BN_MOMENTUM * unbiased,
+        }
+    else:
+        mean, var = s["mean"], s["var"]
+        new_s = s
+    inv = jax.lax.rsqrt(var + BN_EPS) * p["scale"]
+    out = (x - mean) * inv + p["bias"]
+    return out.astype(x.dtype), new_s
+
+
+def init_mlp(key: jax.Array, channels: Sequence[int]) -> Tuple[Params, Params]:
+    """Stack of Linear -> ReLU -> BN blocks (model/point_net2.py:45-53)."""
+    keys = jax.random.split(key, len(channels) - 1)
+    layers, states = [], []
+    for i in range(1, len(channels)):
+        lin = init_linear(keys[i - 1], channels[i - 1], channels[i])
+        bn_p, bn_s = init_batchnorm(channels[i])
+        layers.append({"linear": lin, "bn": bn_p})
+        states.append(bn_s)
+    return {"layers": layers}, {"layers": states}
+
+
+def mlp(
+    p: Params,
+    s: Params,
+    x: jax.Array,
+    mask: Optional[jax.Array] = None,
+    train: bool = False,
+    compute_dtype=jnp.float32,
+) -> Tuple[jax.Array, Params]:
+    new_states: List[Params] = []
+    for layer_p, layer_s in zip(p["layers"], s["layers"]):
+        x = linear(layer_p["linear"], x, compute_dtype)
+        x = jax.nn.relu(x)
+        x, ns = batchnorm(layer_p["bn"], layer_s, x, mask, train)
+        new_states.append(ns)
+    return x, {"layers": new_states}
+
+
+def dropout(key: Optional[jax.Array], x: jax.Array, rate: float, train: bool) -> jax.Array:
+    if not train or rate <= 0.0 or key is None:
+        return x
+    keep = 1.0 - rate
+    m = jax.random.bernoulli(key, keep, x.shape)
+    return jnp.where(m, x / keep, 0.0)

@@ -1,0 +1,195 @@
+"""PointNet2 segmentation backbone, TPU-native.
+
+Functionally equivalent to the reference model (model/point_net2.py:70-153)
+but expressed as a pure function over static-shape padded clouds:
+
+  stage        reference                     here
+  -----        ---------------------------   --------------------------------
+  SA1          fps(0.25) + radius(sqrt2,     FPS (Pallas/lax) + fixed-K ball
+               <=2000) + PointConv MLP       query + dense gather + shared MLP
+               [11,16,16]                    + masked max over K
+  SA2          same, r=sqrt8                 same, MLP [19,32]
+  SA3          MLP [35,64] + global_max_pool per-cloud max over points
+  FP3          knn_interpolate k=1 + skip    broadcast of the single global
+               + MLP [96,64]                 feature + skip + MLP
+  FP2/FP1      knn_interpolate k=3 + skip    chunked dense kNN (inverse-d^2)
+               + MLP [80,34]/[42,34]         + skip + MLP
+  head         lin 34->16, ReLU, dropout,    identical, incl. the fixed bias
+               lin 16->5 (bias init :97-99)  init
+  output       softmax(4) || sigmoid(1);     identical
+               coverages = proba * density
+
+Input convention (matches the reference data layer): `cloud` is the rescaled
+feature matrix with x,y ALREADY DROPPED — (B, N, 8) = [z/z_max, r, g, b, nir,
+intensity, return_num, num_returns] (model/point_net2.py:77,117-118) — and
+`xyz` is the centered, z-normalized position in meters (B, N, 3).
+
+Batch handling: the reference flattens (B, f, N) to long form with a batch
+vector rebuilt on the host every step (model/point_net2.py:107-116, hot loop
+#6 in SURVEY.md); here the batch axis is a real array axis, sharded across
+devices by the caller.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from stratanet2_tpu.config import ModelConfig
+from stratanet2_tpu.models import nn
+from stratanet2_tpu.ops import ball_query, farthest_point_sampling, knn_interpolate
+
+Params = Dict[str, Any]
+
+
+class PointNet2Params(NamedTuple):
+    params: Params
+    state: Params  # batch-norm running statistics
+
+
+def init_pointnet2(key: jax.Array, cfg: ModelConfig) -> PointNet2Params:
+    """Initialize parameters. Channel plan per model/point_net2.py:81-99."""
+    f_in = cfg.n_input_feats - 2  # x and y dropped
+    mlp1 = [f_in + 3, 16, 16]
+    mlp2 = [mlp1[-1] + 3, 32]
+    mlp3 = [mlp2[-1] + 3, 64]
+    mlp3_fp = [mlp3[-1] + mlp2[-1], 64]
+    mlp2_fp = [mlp3_fp[-1] + mlp1[-1], 34]
+    mlp1_fp = [mlp2_fp[-1] + f_in, 34]
+
+    ks = jax.random.split(key, 8)
+    p, s = {}, {}
+    for name, channels, k in [
+        ("sa1", mlp1, ks[0]),
+        ("sa2", mlp2, ks[1]),
+        ("sa3", mlp3, ks[2]),
+        ("fp3", mlp3_fp, ks[3]),
+        ("fp2", mlp2_fp, ks[4]),
+        ("fp1", mlp1_fp, ks[5]),
+    ]:
+        p[name], s[name] = nn.init_mlp(k, channels)
+    p["lin1"] = nn.init_linear(ks[6], mlp1_fp[-1], 16)
+    p["lin2"] = nn.init_linear(ks[7], 16, cfg.n_class + 1)
+    # fixed head bias init (model/point_net2.py:97-99)
+    p["lin2"]["b"] = jnp.asarray(cfg.head_bias_init, jnp.float32)
+    return PointNet2Params(p, s)
+
+
+def count_params(p: Params) -> int:
+    return sum(x.size for x in jax.tree_util.tree_leaves(p))
+
+
+def _gather(x: jax.Array, idx: jax.Array) -> jax.Array:
+    """Batched gather: x (B, N, F), idx (B, ...) -> (B, ..., F)."""
+    return jax.vmap(lambda xb, ib: xb[ib])(x, idx)
+
+
+def _sa_module(
+    p: Params,
+    s: Params,
+    x: jax.Array,
+    pos: jax.Array,
+    n_centroids: int,
+    radius: float,
+    k: int,
+    train: bool,
+    compute_dtype,
+    use_pallas: bool,
+    chunk: int,
+) -> Tuple[jax.Array, jax.Array, Params]:
+    """Set-abstraction: FPS -> ball query -> PointConv-style shared MLP ->
+    masked max (reference SAModule, model/point_net2.py:14-29)."""
+    idx = farthest_point_sampling(pos, n_centroids, use_pallas=use_pallas)
+    centroids = _gather(pos, idx)  # (B, C, 3)
+    nbr_idx, nbr_mask = ball_query(centroids, pos, radius, k, chunk=chunk)
+    x_j = _gather(x, nbr_idx)  # (B, C, K, F)
+    rel = _gather(pos, nbr_idx) - centroids[:, :, None, :]  # (B, C, K, 3)
+    h = jnp.concatenate([x_j, rel.astype(x_j.dtype)], axis=-1)
+    h, new_s = nn.mlp(p, s, h, mask=nbr_mask, train=train, compute_dtype=compute_dtype)
+    neg = jnp.asarray(-1e30, h.dtype)
+    h = jnp.where(nbr_mask[..., None], h, neg)
+    out = jnp.max(h, axis=2)  # (B, C, F') — each centroid is its own neighbor
+    return out, centroids, new_s
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "train", "return_embeddings")
+)
+def pointnet2_forward(
+    model: PointNet2Params,
+    cloud: jax.Array,
+    xyz: jax.Array,
+    cfg: ModelConfig,
+    train: bool = False,
+    rng: Optional[jax.Array] = None,
+    return_embeddings: bool = False,
+):
+    """Forward pass.
+
+    Args:
+      model: (params, bn_state).
+      cloud: (B, N, n_input_feats - 2) rescaled features, x/y dropped.
+      xyz: (B, N, 3) centered positions in meters.
+      cfg: static model config.
+      train: batch-stats mode + dropout.
+      rng: dropout key (needed only if train and cfg.drop > 0).
+
+    Returns:
+      (coverages_pointwise (B,N,4), proba_pointwise (B,N,4), new_state)
+      and, if return_embeddings, the (B, 64) global feature as a 4th output
+      (reference `last_G_tensor`, model/point_net2.py:134-135).
+    """
+    p, s = model.params, model.state
+    dt = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+    new_s = dict(s)
+
+    x0, pos0 = cloud, xyz
+
+    x1, pos1, new_s["sa1"] = _sa_module(
+        p["sa1"], s["sa1"], x0, pos0, cfg.n_centroids1, cfg.r1, cfg.k1,
+        train, dt, cfg.use_pallas, cfg.knn_chunk,
+    )
+    x2, pos2, new_s["sa2"] = _sa_module(
+        p["sa2"], s["sa2"], x1, pos1, cfg.n_centroids2, cfg.r2, cfg.k2,
+        train, dt, cfg.use_pallas, cfg.knn_chunk,
+    )
+
+    # Global SA (model/point_net2.py:32-42): MLP on [x, pos], per-cloud max.
+    h3, new_s["sa3"] = nn.mlp(
+        p["sa3"], s["sa3"],
+        jnp.concatenate([x2, pos2.astype(x2.dtype)], axis=-1),
+        train=train, compute_dtype=dt,
+    )
+    g = jnp.max(h3, axis=1)  # (B, 64) global feature
+
+    # FP3: k=1 interpolation from the single global point == broadcast
+    # (model/point_net2.py:91, knn_interpolate k=1 from one source point).
+    h = jnp.concatenate([jnp.broadcast_to(g[:, None, :], (x2.shape[0], x2.shape[1], g.shape[-1])), x2], axis=-1)
+    h, new_s["fp3"] = nn.mlp(p["fp3"], s["fp3"], h, train=train, compute_dtype=dt)
+
+    # FP2: 625 -> 2500, k=3 (model/point_net2.py:92).
+    h = knn_interpolate(h, pos2, pos1, k=3, chunk=cfg.knn_chunk)
+    h = jnp.concatenate([h, x1], axis=-1)
+    h, new_s["fp2"] = nn.mlp(p["fp2"], s["fp2"], h, train=train, compute_dtype=dt)
+
+    # FP1: 2500 -> N, k=3 (model/point_net2.py:93).
+    h = knn_interpolate(h, pos1, pos0, k=3, chunk=cfg.knn_chunk)
+    h = jnp.concatenate([h, x0], axis=-1)
+    h, new_s["fp1"] = nn.mlp(p["fp1"], s["fp1"], h, train=train, compute_dtype=dt)
+
+    # Head (model/point_net2.py:141-153).
+    h = jax.nn.relu(nn.linear(p["lin1"], h, dt))
+    h = nn.dropout(rng, h, cfg.drop, train)
+    scores = nn.linear(p["lin2"], h, dt)
+
+    proba = jax.nn.softmax(scores[..., : cfg.n_class], axis=-1)
+    density = jax.nn.sigmoid(scores[..., cfg.n_class :])
+    coverages = proba * density
+
+    new_model_state = new_s
+    if return_embeddings:
+        return coverages, proba, new_model_state, g
+    return coverages, proba, new_model_state
