@@ -1,0 +1,129 @@
+"""Evaluation loop (reference learning/test.py:25-132).
+
+Runs the jitted eval step over ordered batches (padding-aware), aggregates
+per-plot losses, builds the per-plot prediction summary rows consumed by
+cross-validation analytics, and triggers interpretation figures and
+confusion matrices on the reference's schedule.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+
+from stratanet2_tpu.config import Config
+from stratanet2_tpu.data.loader import PlotLoader
+from stratanet2_tpu.learning import metrics as M
+from stratanet2_tpu.learning.kde import KdeMixture
+
+logger = logging.getLogger("stratanet2_tpu")
+
+LOSS_KEYS = ("total_loss", "MAE_loss", "log_loss", "MAE_veg_b", "MAE_veg_moy", "MAE_veg_h")
+
+
+def get_cloud_prediction_summary(
+    plot_name: str, pred_pl: np.ndarray, gt: np.ndarray, n_points: int
+) -> Dict:
+    """Per-plot summary row (learning/test.py:135-149)."""
+    return {
+        "pl_id": plot_name,
+        "pl_N_points": n_points,
+        "pred_veg_b": float(pred_pl[0]),
+        "pred_sol_nu": float(pred_pl[1]),
+        "pred_veg_moy": float(pred_pl[2]),
+        "pred_veg_h": float(pred_pl[3]),
+        "vt_veg_b": float(gt[0]),
+        "vt_sol_nu": float(gt[1]),
+        "vt_veg_moy": float(gt[2]),
+        "vt_veg_h": float(gt[3]),
+    }
+
+
+def evaluate(
+    model,
+    dataset: Dict,
+    val_ids,
+    cfg: Config,
+    kde: KdeMixture,
+    eval_step,
+    stats_path: str,
+    sink,
+    fold_id: int = 0,
+    epoch: int = 0,
+    last_epoch: bool = False,
+) -> Tuple[Dict[str, float], List[Dict]]:
+    loader = PlotLoader(dataset, cfg, plot_ids=val_ids, train=False)
+    sums = {k: 0.0 for k in LOSS_KEYS}
+    n = 0
+    summaries: List[Dict] = []
+
+    for batch in loader:
+        pred_pl, cov, proba, comps, aux = eval_step(
+            model,
+            jnp.asarray(batch["cloud"]),
+            jnp.asarray(batch["xyz"]),
+            jnp.asarray(batch["coverages"]),
+        )
+        pred_pl = np.asarray(jax.device_get(pred_pl))
+        comps = jax.device_get(comps)
+        valid = batch["valid"]
+        for i in np.where(valid)[0]:
+            for k in LOSS_KEYS:
+                sums[k] += float(np.asarray(comps[k])[i])
+            n += 1
+            plot_name = batch["plot_id"][i]
+            summaries.append(
+                get_cloud_prediction_summary(
+                    plot_name,
+                    pred_pl[i],
+                    batch["coverages"][i],
+                    int(batch["N_points_in_cloud"][i]),
+                )
+            )
+            if last_epoch or plot_name in cfg.plot_name_to_visualize_during_training:
+                _maybe_visualize(
+                    batch, i, pred_pl[i], cov, proba, aux, cfg, stats_path, fold_id
+                )
+
+    means = {k: sums[k] / max(n, 1) for k in LOSS_KEYS}
+
+    freq = cfg.log_confusion_matrix_frequency
+    if last_epoch or (freq > 0 and epoch % freq == 0):
+        df = pd.DataFrame(summaries)
+        out_dir = os.path.join(stats_path, "img", "confusion_matrices")
+        try:
+            M.log_confusion_matrices(
+                df, out_dir, normalize=cfg.normalize_cm, fold_id=fold_id, epoch=epoch
+            )
+        except Exception as err:  # figures must never kill training
+            logger.warning("confusion matrix logging failed: %s", err)
+
+    return means, summaries
+
+
+def _maybe_visualize(batch, i, pred_pl, cov, proba, aux, cfg, stats_path, fold_id):
+    try:
+        from stratanet2_tpu.utils.visualize import create_predictions_interpretations
+
+        p_all, pdf_all = aux
+        create_predictions_interpretations(
+            pred_pl=pred_pl,
+            gt=batch["coverages"][i],
+            coverages_pointwise=np.asarray(cov[i]),
+            cloud=batch["cloud"][i],
+            p_all=np.asarray(p_all[i]),
+            pdf_all=np.asarray(pdf_all[i]),
+            plot_name=batch["plot_id"][i],
+            plot_center=batch["plot_center"][i],
+            cfg=cfg,
+            stats_path=stats_path,
+            fold_id=fold_id,
+        )
+    except Exception as err:  # pragma: no cover
+        logger.warning("interpretation figure failed for %s: %s", batch["plot_id"][i], err)

@@ -1,0 +1,329 @@
+"""Training engine: jitted train/eval steps and the full training loop.
+
+Replaces the reference's torch loop (learning/train.py:29-177) with a single
+compiled train step — forward, in-graph plotwise projection, all three loss
+terms, backward, Adam update — executed once per batch with no host round
+trips (the reference crossed GPU->CPU->GPU for the KDE NLL every step,
+learning/loss_functions.py:30-53).
+
+Optimizer parity: torch Adam(weight_decay=wd) adds wd*param to the gradient
+*before* the moment updates (L2, not decoupled AdamW), and StepLR multiplies
+the LR by lr_decay every `step_size` epochs (learning/train.py:180-185).
+Expressed here as optax.chain(add_decayed_weights, scale_by_adam,
+staircase exponential_decay schedule per optimizer step).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import time
+from typing import Any, Dict, List, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from stratanet2_tpu.config import Config
+from stratanet2_tpu.learning.kde import KdeMixture
+from stratanet2_tpu.learning.losses import (
+    absolute_loss_by_strata,
+    entropy_loss,
+    total_loss,
+)
+from stratanet2_tpu.models import PointNet2Params, init_pointnet2, pointnet2_forward, count_params
+from stratanet2_tpu.ops import plotwise_coverages
+from stratanet2_tpu.utils import checkpoint as ckpt
+
+logger = logging.getLogger("stratanet2_tpu")
+
+
+class TrainState(NamedTuple):
+    params: Any
+    model_state: Any  # batch-norm running stats
+    opt_state: Any
+    step: jax.Array
+
+
+def make_optimizer(cfg: Config, steps_per_epoch: int) -> optax.GradientTransformation:
+    schedule = optax.exponential_decay(
+        init_value=cfg.train.lr,
+        transition_steps=max(steps_per_epoch * cfg.train.step_size, 1),
+        decay_rate=cfg.train.lr_decay,
+        staircase=True,
+    )
+    return optax.chain(
+        optax.add_decayed_weights(cfg.train.wd),
+        optax.scale_by_adam(),
+        optax.scale_by_learning_rate(schedule),
+    )
+
+
+def init_train_state(
+    cfg: Config,
+    optimizer: optax.GradientTransformation,
+    seed: int = 0,
+    pretrained_path: Optional[str] = None,
+) -> TrainState:
+    model = init_pointnet2(jax.random.PRNGKey(seed), cfg.model)
+    params, model_state = model.params, model.state
+    if pretrained_path:
+        payload = ckpt.load_checkpoint(pretrained_path)
+        params = jax.tree_util.tree_map(jnp.asarray, payload["params"])
+        model_state = jax.tree_util.tree_map(jnp.asarray, payload["model_state"])
+        logger.info("Loaded pretrained weights from %s", pretrained_path)
+    logger.info("Total number of parameters: %d", count_params(params))
+    opt_state = optimizer.init(params)
+    return TrainState(params, model_state, opt_state, jnp.zeros((), jnp.int32))
+
+
+def make_train_step(cfg: Config, optimizer: optax.GradientTransformation, kde: KdeMixture):
+    """One fused optimization step (forward + projection + 3-term loss +
+    backward + Adam), jitted with donated state."""
+    mcfg = cfg.model
+    m, e = cfg.train.m, cfg.train.e
+    kde_grid = jnp.asarray(kde.grid)
+    kde_pdfs = jnp.asarray(kde.pdfs)
+
+    def step(ts: TrainState, cloud, xyz, gt, rng):
+        def loss_fn(params):
+            cov, proba, new_state = pointnet2_forward(
+                PointNet2Params(params, ts.model_state),
+                cloud[..., 2:],
+                xyz,
+                mcfg,
+                train=True,
+                rng=rng,
+            )
+            pred_pl = plotwise_coverages(cov, cloud[..., :2], mcfg.diam_pix)
+            z_m = cloud[..., 2] * mcfg.z_max
+            loss, (comps, _aux) = total_loss(
+                pred_pl, gt, proba, z_m, kde_grid, kde_pdfs, m, e
+            )
+            return loss, (comps, new_state)
+
+        (_, (comps, new_state)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            ts.params
+        )
+        updates, new_opt = optimizer.update(grads, ts.opt_state, ts.params)
+        new_params = optax.apply_updates(ts.params, updates)
+        return TrainState(new_params, new_state, new_opt, ts.step + 1), comps
+
+    return jax.jit(step, donate_argnums=(0,))
+
+
+def make_eval_step(cfg: Config, kde: KdeMixture):
+    """Batched eval step returning per-item losses/predictions so the host
+    can aggregate over valid (non-padding) items — equivalent to the
+    reference's batch_size=1 eval (learning/test.py:38-43)."""
+    mcfg = cfg.model
+    kde_grid = jnp.asarray(kde.grid)
+    kde_pdfs = jnp.asarray(kde.pdfs)
+
+    def step(model: PointNet2Params, cloud, xyz, gt):
+        cov, proba, _ = pointnet2_forward(
+            model, cloud[..., 2:], xyz, mcfg, train=False
+        )
+        pred_pl = plotwise_coverages(cov, cloud[..., :2], mcfg.diam_pix)
+        z_m = cloud[..., 2] * mcfg.z_max
+
+        def per_item(pred1, gt1, proba1, z1):
+            l_abs_strata = absolute_loss_by_strata(pred1[None], gt1[None])
+            l_abs = jnp.mean(l_abs_strata)
+            pdf = jnp.stack(
+                [
+                    jnp.interp(z1, kde_grid, kde_pdfs[0]),
+                    jnp.interp(z1, kde_grid, kde_pdfs[1]),
+                    jnp.interp(z1, kde_grid, kde_pdfs[2]),
+                ],
+                axis=-1,
+            )
+            p_all = jnp.stack(
+                [proba1[:, 0] + proba1[:, 1], proba1[:, 2], proba1[:, 3]], axis=-1
+            )
+            l_nll = -jnp.mean(jnp.log(jnp.sum(p_all * pdf, axis=-1)))
+            l_e = entropy_loss(proba1)
+            l_total = l_abs + cfg.train.m * l_nll + cfg.train.e * l_e
+            return {
+                "total_loss": l_total,
+                "MAE_loss": l_abs,
+                "log_loss": l_nll,
+                "MAE_veg_b": l_abs_strata[0],
+                "MAE_veg_moy": l_abs_strata[1],
+                "MAE_veg_h": l_abs_strata[2],
+            }, (p_all, pdf)
+
+        comps, aux = jax.vmap(per_item)(pred_pl, gt, proba, z_m)
+        return pred_pl, cov, proba, comps, aux
+
+    return jax.jit(step)
+
+
+def train_one_epoch(
+    train_step,
+    ts: TrainState,
+    loader,
+    rng_key: jax.Array,
+) -> Tuple[TrainState, Dict[str, float]]:
+    """One epoch over shuffled, drop_last batches (learning/train.py:29-79)."""
+    sums: Dict[str, float] = {}
+    n = 0
+    for batch in loader:
+        rng_key, sub = jax.random.split(rng_key)
+        ts, comps = train_step(
+            ts,
+            jnp.asarray(batch["cloud"]),
+            jnp.asarray(batch["xyz"]),
+            jnp.asarray(batch["coverages"]),
+            sub,
+        )
+        comps = jax.device_get(comps)
+        for k, v in comps.items():
+            sums[k] = sums.get(k, 0.0) + float(v)
+        n += 1
+    means = {k: v / max(n, 1) for k, v in sums.items()}
+    means["step"] = int(jax.device_get(ts.step))
+    return ts, means
+
+
+def print_epoch_losses(epoch: int, loss_dict: Dict[str, float], train: bool):
+    task = "train" if train else "test"
+    logger.info(
+        "Epoch %3d -> %s Loss: %1.2f %s Loss Abs (MAE): %1.2f %s Loss Log: %1.2f",
+        epoch, task, loss_dict["total_loss"], task, loss_dict["MAE_loss"],
+        task, loss_dict["log_loss"],
+    )
+
+
+class EarlyStopper:
+    """Best-metric tracking + patience (model/point_net2.py:165-184)."""
+
+    def __init__(self, cfg: Config):
+        self.best_metric_value = 1e6
+        self.best_metric_epoch = 1
+        self.patience = cfg.train.patience_in_epochs
+        self.start_epoch = cfg.train.epoch_to_start_early_stop
+        self.stopped_early = False
+
+    def should_stop(self, val_metric: float, epoch: int) -> Tuple[bool, bool]:
+        """Returns (stop, improved)."""
+        if val_metric < self.best_metric_value:
+            self.best_metric_value = val_metric
+            self.best_metric_epoch = epoch
+            return False, True
+        if epoch < self.start_epoch:
+            return False, False
+        if epoch >= self.best_metric_epoch + self.patience:
+            self.stopped_early = True
+            return True, False
+        return False, False
+
+
+def train_full(
+    dataset: Dict,
+    train_ids,
+    val_ids,
+    cfg: Config,
+    kde: KdeMixture,
+    stats_path: str,
+    sink,
+    fold_id: int,
+    pretrained_path: Optional[str] = None,
+    seed: int = 0,
+):
+    """Full training loop for one fold (reference learning/train.py:82-177).
+
+    Returns (train_state, train_loss_dicts, test_loss_dicts, cloud_info_list).
+    """
+    from stratanet2_tpu.data.loader import PlotLoader
+    from stratanet2_tpu.learning.evaluate import evaluate
+
+    train_loader = PlotLoader(dataset, cfg, plot_ids=train_ids, train=True, seed=seed)
+    steps_per_epoch = max(len(train_loader), 1)
+    optimizer = make_optimizer(cfg, steps_per_epoch)
+    ts = init_train_state(cfg, optimizer, seed=seed, pretrained_path=pretrained_path)
+    train_step = make_train_step(cfg, optimizer, kde)
+    eval_step = make_eval_step(cfg, kde)
+
+    stopper = EarlyStopper(cfg)
+    ckpt_path = os.path.join(stats_path, ckpt.checkpoint_name(fold_id))
+    rng_key = jax.random.PRNGKey(seed + 1)
+
+    all_train_losses: List[Dict] = []
+    all_test_losses: List[Dict] = []
+    current_epoch = 0
+    for current_epoch in range(1, cfg.train.n_epoch + 1):
+        sink.set_epoch(current_epoch)
+        t0 = time.time()
+        with sink.context(f"fold_{fold_id}_train"):
+            ts, train_losses = train_one_epoch(train_step, ts, train_loader, rng_key)
+            rng_key, _ = jax.random.split(rng_key)
+            train_losses["epoch"] = current_epoch
+            train_losses["epoch_seconds"] = time.time() - t0
+            print_epoch_losses(current_epoch, train_losses, train=True)
+            sink.log_metrics(train_losses, epoch=current_epoch, step=train_losses["step"])
+            all_train_losses.append(train_losses)
+
+        if (current_epoch % cfg.train.n_epoch_test == 0) or (
+            current_epoch > cfg.train.epoch_to_start_early_stop
+        ):
+            with sink.context(f"fold_{fold_id}_val"):
+                test_losses, _ = evaluate(
+                    PointNet2Params(ts.params, ts.model_state),
+                    dataset, val_ids, cfg, kde, eval_step, stats_path, sink,
+                    fold_id=fold_id, epoch=current_epoch,
+                )
+                test_losses["epoch"] = current_epoch
+                test_losses["step"] = int(jax.device_get(ts.step))
+                print_epoch_losses(current_epoch, test_losses, train=False)
+                sink.log_metrics(test_losses, epoch=current_epoch, step=test_losses["step"])
+                all_test_losses.append(test_losses)
+
+                if cfg.train.use_early_stopping:
+                    stop, improved = stopper.should_stop(
+                        test_losses["total_loss"], current_epoch
+                    )
+                    if improved:
+                        ckpt.save_checkpoint(
+                            ckpt_path, ts.params, ts.model_state, ts.opt_state,
+                            metadata={
+                                "best_metric_epoch": stopper.best_metric_epoch,
+                                "best_metric_value": stopper.best_metric_value,
+                                "fold_id": fold_id,
+                            },
+                        )
+                    if stop:
+                        logger.info("Early stopping at epoch %d", current_epoch)
+                        break
+
+    # Final eval with best/last weights (learning/train.py:154-176).
+    if cfg.train.use_early_stopping and os.path.exists(ckpt_path):
+        payload = ckpt.load_checkpoint(ckpt_path)
+        ts = TrainState(
+            jax.tree_util.tree_map(jnp.asarray, payload["params"]),
+            jax.tree_util.tree_map(jnp.asarray, payload["model_state"]),
+            ts.opt_state, ts.step,
+        )
+        logger.info(
+            "Loaded best model of epoch %d for final inference",
+            payload["metadata"].get("best_metric_epoch", -1),
+        )
+    else:
+        ckpt.save_checkpoint(
+            ckpt_path, ts.params, ts.model_state, ts.opt_state,
+            metadata={"fold_id": fold_id, "epoch": current_epoch},
+        )
+
+    with sink.context(f"fold_{fold_id}_val"):
+        test_losses, cloud_info_list = evaluate(
+            PointNet2Params(ts.params, ts.model_state),
+            dataset, val_ids, cfg, kde, eval_step, stats_path, sink,
+            fold_id=fold_id, epoch=current_epoch, last_epoch=True,
+        )
+        test_losses["epoch"] = current_epoch
+        test_losses["step"] = int(jax.device_get(ts.step))
+        all_test_losses.append(dict(test_losses))
+        print_epoch_losses(current_epoch, test_losses, train=False)
+
+    return ts, all_train_losses, all_test_losses, cloud_info_list

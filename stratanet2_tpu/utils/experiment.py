@@ -1,0 +1,114 @@
+"""Experiment plumbing: run folders, logging, pluggable metric sink.
+
+Mirrors the reference's artifact tree — timestamped
+experiments/{task}/{mode}/{timestamp}/ with stats.txt (utils/utils.py:49-62)
+— and replaces Comet.ml with a local JSONL metric sink (SURVEY.md §5
+'pluggable metric sink'). Every metric the reference sent to Comet lands in
+metrics.jsonl with its context/epoch/step, so offline analysis scripts can
+re-aggregate.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import sys
+import time
+from contextlib import contextmanager
+from dataclasses import dataclass, field
+from typing import Any, Dict, Optional
+
+
+def setup_experiment_folder(experiments_path: str, task: str, mode: str) -> str:
+    """experiments/{task}/{mode}/{timestamp}/ (utils/utils.py:49-62)."""
+    run_name = time.strftime("%Y-%m-%d_%Hh%Mm%Ss")
+    stats_path = os.path.join(experiments_path, task, mode, run_name)
+    os.makedirs(stats_path, exist_ok=True)
+    return stats_path
+
+
+def create_logger(stats_path: str) -> logging.Logger:
+    """stdout + stats.txt logger (utils/utils.py:12-22)."""
+    logger = logging.getLogger("stratanet2_tpu")
+    logger.setLevel(logging.INFO)
+    logger.handlers.clear()
+    fmt = logging.Formatter(
+        "%(asctime)s:%(levelname)s: %(message)s", datefmt="%Y-%m-%d %H:%M:%S"
+    )
+    fh = logging.FileHandler(os.path.join(stats_path, "stats.txt"))
+    sh = logging.StreamHandler(sys.stdout)
+    for h in (fh, sh):
+        h.setFormatter(fmt)
+        logger.addHandler(h)
+    return logger
+
+
+@dataclass
+class MetricSink:
+    """JSONL metric sink with Comet-like contexts.
+
+    Usage:
+      sink = MetricSink(stats_path)
+      with sink.context("fold_1_train"):
+          sink.log_metrics({"total_loss": 0.3}, epoch=3, step=120)
+    """
+
+    stats_path: str
+    _context: str = ""
+    _fh: Any = None
+    epoch: int = 0
+
+    def __post_init__(self):
+        self._fh = open(os.path.join(self.stats_path, "metrics.jsonl"), "a")
+
+    @contextmanager
+    def context(self, name: str):
+        prev, self._context = self._context, name
+        try:
+            yield self
+        finally:
+            self._context = prev
+
+    def set_epoch(self, epoch: int):
+        self.epoch = epoch
+
+    def log_metric(self, name: str, value, epoch: Optional[int] = None, step: Optional[int] = None):
+        self.log_metrics({name: value}, epoch=epoch, step=step)
+
+    def log_metrics(self, metrics: Dict[str, Any], epoch: Optional[int] = None, step: Optional[int] = None):
+        rec = {
+            "t": time.time(),
+            "context": self._context,
+            "epoch": self.epoch if epoch is None else epoch,
+            "step": step,
+            "metrics": {k: _jsonable(v) for k, v in metrics.items()},
+        }
+        self._fh.write(json.dumps(rec) + "\n")
+        self._fh.flush()
+
+    def log_parameters(self, params: Dict[str, Any]):
+        with open(os.path.join(self.stats_path, "params.json"), "w") as f:
+            json.dump({k: _jsonable(v) for k, v in params.items()}, f, indent=2, default=str)
+
+    def log_image(self, path: str, **_kw):
+        self.log_metrics({"image": path})
+
+    def log_table(self, path: str, **_kw):
+        self.log_metrics({"table": path})
+
+    def close(self):
+        if self._fh:
+            self._fh.close()
+            self._fh = None
+
+
+def _jsonable(v):
+    try:
+        json.dumps(v)
+        return v
+    except TypeError:
+        try:
+            return float(v)
+        except Exception:
+            return str(v)

@@ -1,0 +1,170 @@
+"""Learning-engine tests: KDE prior, loss functions (numpy oracles of the
+reference math), metrics bins, and an end-to-end training smoke run."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from stratanet2_tpu.learning import kde as K
+from stratanet2_tpu.learning import losses as L
+from stratanet2_tpu.learning import metrics as M
+
+
+class TestKde:
+    def test_density_matches_direct_gaussian_sum(self, rng):
+        z = rng.uniform(0, 20, 3000)
+        mix = K.fit_kde_mixture(z)
+        # direct weighted KDE oracle at a few query points
+        z_sym = np.sort(np.concatenate([-z, z]))
+        w1, w2, w3 = K._strata_weights(z_sym)
+        q = np.array([0.1, 1.0, 3.0, 10.0])
+
+        def direct(w, at):
+            d = np.exp(-0.5 * ((at[:, None] - z_sym[None, :]) / K.BW) ** 2)
+            return (d * w[None, :]).sum(1) / (K.BW * np.sqrt(2 * np.pi))
+
+        # global max over a dense grid (the mixture's normalizer,
+        # kde_mixture.py:96-99)
+        dense = mix.grid[::7]
+        mx = max(direct(w, dense).max() for w in (w1, w2, w3))
+        y1, y2, y3 = direct(w1, q), direct(w2, q), direct(w3, q)
+        assert np.max(mix.pdfs) == pytest.approx(1.0)
+        p1, p2, p3 = mix.predict(q)
+        for got, want in [(p1, y1 / mx), (p2, y2 / mx), (p3, y3 / mx)]:
+            np.testing.assert_allclose(got, want, rtol=0.05, atol=5e-3)
+
+    def test_strata_gating(self, rng):
+        z = rng.uniform(0, 20, 5000)
+        mix = K.fit_kde_mixture(z)
+        p_g, p_m, p_h = mix.predict(np.array([0.2, 1.0, 8.0]))
+        # ground pdf dominates near 0, medium in 0.5-1.5, high above
+        assert p_g[0] > p_m[0] and p_g[0] > p_h[0]
+        assert p_m[1] > p_g[1]
+        assert p_h[2] > p_g[2] and p_h[2] > p_m[2]
+
+
+class TestLosses:
+    def test_absolute_loss_oracle(self, rng):
+        pred = rng.uniform(0, 1, (6, 4)).astype(np.float32)
+        gt = rng.uniform(0, 1, (6, 4)).astype(np.float32)
+        got = float(L.absolute_loss(jnp.asarray(pred), jnp.asarray(gt)))
+        want = np.sqrt((pred[:, [0, 2, 3]] - gt[:, [0, 2, 3]]) ** 2 + 1e-4).mean(0).mean()
+        assert got == pytest.approx(float(want), rel=1e-5)
+
+    def test_entropy_loss_oracle(self, rng):
+        p = rng.uniform(0.01, 0.99, (50, 4)).astype(np.float32)
+        got = float(L.entropy_loss(jnp.asarray(p)))
+        q = p[:, 2:]
+        want = -(q * np.log(q + 1e-4) + (1 - q) * np.log(1 - q + 1e-4)).mean()
+        assert got == pytest.approx(float(want), rel=1e-5)
+
+    def test_nll_loss_oracle(self, rng):
+        grid = np.linspace(-1, 30, 500).astype(np.float32)
+        pdfs = rng.uniform(0.01, 1, (3, 500)).astype(np.float32)
+        proba = rng.dirichlet(np.ones(4), 40).astype(np.float32)
+        z = rng.uniform(0, 25, 40).astype(np.float32)
+        got, (p_all, pdf_all) = L.nll_loss(
+            jnp.asarray(proba), jnp.asarray(z), jnp.asarray(grid), jnp.asarray(pdfs)
+        )
+        pg = np.interp(z, grid, pdfs[0])
+        pm = np.interp(z, grid, pdfs[1])
+        ph = np.interp(z, grid, pdfs[2])
+        p = np.stack([proba[:, 0] + proba[:, 1], proba[:, 2], proba[:, 3]], 1)
+        lik = (p * np.stack([pg, pm, ph], 1)).sum(1)
+        assert float(got) == pytest.approx(float(-np.log(lik).mean()), rel=1e-4)
+        assert p_all.shape == (40, 3) and pdf_all.shape == (40, 3)
+
+
+class TestMetrics:
+    def test_bins_borders_match_reference(self):
+        np.testing.assert_allclose(
+            M.bins_borders, [0.05, 0.18, 0.29, 0.42, 0.63, 0.83, 0.95, 1.05]
+        )
+
+    def test_closest_center(self):
+        assert M.closest_class_center(0.47) == 0.5
+        assert M.closest_class_center(0.0) == 0.0
+        np.testing.assert_allclose(
+            M.closest_class_center(np.array([0.12, 0.99])), [0.10, 1.0]
+        )
+
+    def test_mae_variants(self):
+        # GT class 0.50 spans [0.42, 0.63]
+        assert M.mae2(0.5, 0.5) == 0.0
+        assert M.mae2(0.64, 0.5) == pytest.approx(0.01)
+        assert M.mae2(0.40, 0.5) == pytest.approx(0.02)
+        # neighbors of 0.50 are 0.33 [0.29,0.42] and 0.75 [0.63,0.83]
+        assert M.mae3(0.30, 0.5) == 0.0
+        assert M.mae3(0.85, 0.5) == pytest.approx(0.02)
+        assert M.accuracy(0.45, 0.5) == 1
+        assert M.accuracy(0.3, 0.5) == 0
+        assert M.accuracy2(0.35, 0.5) == 1  # within 10pp margin
+        assert M.accuracy3(0.3, 0.5) == 1  # within neighbor bounds
+
+    def test_indicator_dataframes(self, rng):
+        import pandas as pd
+
+        n = 30
+        df = pd.DataFrame(
+            {
+                "pl_id": [f"p{i}" for i in range(n)],
+                **{
+                    f"pred_{s}": rng.uniform(0, 1, n)
+                    for s in ("veg_b", "veg_moy", "veg_h")
+                },
+                **{
+                    f"vt_{s}": M.closest_class_center(rng.uniform(0, 1, n))
+                    for s in ("veg_b", "veg_moy", "veg_h")
+                },
+            }
+        )
+        df = M.calculate_performance_indicators_v1(df)
+        df = M.calculate_performance_indicators_v2(df)
+        df = M.calculate_performance_indicators_v3(df)
+        assert {"error_all", "acc_all", "error2_all", "acc2_all", "acc3_all"} <= set(df)
+        # MAE ordering invariant: error3 <= error2 <= error
+        assert np.all(df["error3_veg_b"] <= df["error2_veg_b"] + 1e-12)
+        assert np.all(df["error2_veg_b"] <= df["error_veg_b"] + 1e-12)
+        cm = M.compute_confusion_matrix(df, "veg_b")
+        assert cm.shape == (8, 8)
+
+    def test_continuous_gt_skips_class_indicators(self, rng):
+        import pandas as pd
+
+        df = pd.DataFrame(
+            {
+                **{f"pred_{s}": rng.uniform(0, 1, 5) for s in M.STRATA},
+                **{f"vt_{s}": [0.11, 0.22, 0.44, 0.57, 0.68] for s in M.STRATA},
+            }
+        )
+        df = M.calculate_performance_indicators_v1(df)
+        assert "error_all" in df and "acc_all" not in df
+        with pytest.raises(KeyError):
+            M.calculate_performance_indicators_v2(df)
+
+
+class TestTrainSmoke:
+    def test_train_full_end_to_end(self, tmp_path):
+        from tests.synthetic import make_plot_dataset, tiny_config
+        from stratanet2_tpu.learning.kde import fit_kde_mixture_from_dataset
+        from stratanet2_tpu.learning.train import train_full
+        from stratanet2_tpu.utils.experiment import MetricSink
+
+        cfg = tiny_config()
+        ds = make_plot_dataset(np.random.default_rng(0), n_plots=8, n_points=300)
+        kde = fit_kde_mixture_from_dataset(ds)
+        ids = np.array(sorted(ds.keys()))
+        sink = MetricSink(str(tmp_path))
+        ts, train_losses, test_losses, cloud_infos = train_full(
+            ds, ids[:6], ids[6:], cfg, kde, str(tmp_path), sink, fold_id=1
+        )
+        assert len(train_losses) == cfg.train.n_epoch
+        assert all(np.isfinite(d["total_loss"]) for d in train_losses)
+        assert len(cloud_infos) == 2
+        assert {"pred_veg_b", "vt_veg_h"} <= set(cloud_infos[0])
+        import os
+
+        assert os.path.exists(tmp_path / "PCC_model_fold_n=1.pt")
+        # loss should not explode across 2 epochs
+        assert train_losses[-1]["total_loss"] < train_losses[0]["total_loss"] * 3
