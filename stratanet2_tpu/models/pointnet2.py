@@ -83,8 +83,17 @@ def count_params(p: Params) -> int:
 
 
 def _gather(x: jax.Array, idx: jax.Array) -> jax.Array:
-    """Batched gather: x (B, N, F), idx (B, ...) -> (B, ..., F)."""
-    return jax.vmap(lambda xb, ib: xb[ib])(x, idx)
+    """Batched gather: x (B, N, F), idx (B, ...) -> (B, ..., F).
+
+    Flattens the batch into axis 0 and gathers with offset indices — XLA
+    lowers this to an efficient row gather on TPU, unlike the vmapped fancy
+    index or take_along_axis forms (~10x slower, measured on v5e).
+    """
+    b, n, f = x.shape
+    flat = x.reshape(b * n, f)
+    off = (jnp.arange(b, dtype=idx.dtype) * n).reshape((b,) + (1,) * (idx.ndim - 1))
+    out = jnp.take(flat, (idx + off).reshape(-1), axis=0)
+    return out.reshape(idx.shape + (f,))
 
 
 def _sa_module(

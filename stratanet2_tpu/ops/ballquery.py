@@ -74,8 +74,13 @@ def _ball_query_single(centroids, points, radius, k, chunk):
         d2 = jnp.sum(c * c, axis=-1, keepdims=True) - 2.0 * cp + pts_sq[None, :]
         d2 = jnp.maximum(d2, 0.0)
         score = jnp.where(d2 <= r2, d2, _BIG)
-        neg_val, idx = jax.lax.top_k(-score, k)  # k smallest distances
-        mask = neg_val > -_BIG * 0.5
+        # approx_min_k: TPU-native partial selection (~20x faster than
+        # lax.top_k here). Recall < 1 only reorders which in-radius points
+        # fill the K slots — the reference itself keeps an arbitrary <=2000
+        # subset (model/point_net2.py:24), and the downstream aggregation is
+        # a masked max, so exact nearest-K is not required.
+        val, idx = jax.lax.approx_min_k(score, k, aggregate_to_topk=True)
+        mask = val < _BIG * 0.5
         idx = jnp.where(mask, idx, 0)
         return idx.astype(jnp.int32), mask
 
