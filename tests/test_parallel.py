@@ -1,0 +1,88 @@
+"""Multi-device tests on the 8-device virtual CPU mesh (SURVEY.md §4c)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from stratanet2_tpu.parallel import make_mesh, batch_sharding, replicate
+
+
+class TestMesh:
+    def test_eight_virtual_devices(self):
+        assert len(jax.devices()) == 8
+
+    def test_dryrun_multichip(self):
+        import __graft_entry__ as g
+
+        g.dryrun_multichip(8)
+
+    def test_dp_forward_matches_single_device(self):
+        """Data-parallel sharded forward == replicated forward (bitwise-level
+        tolerance): the sharding must not change the math."""
+        from tests.synthetic import tiny_config
+        from stratanet2_tpu.models import init_pointnet2, pointnet2_forward
+
+        cfg = tiny_config()
+        mcfg = cfg.model
+        model = init_pointnet2(jax.random.PRNGKey(0), mcfg)
+        b, n = 8, mcfg.subsample_size
+        k1, k2 = jax.random.split(jax.random.PRNGKey(1))
+        cloud = jax.random.uniform(k1, (b, n, 8))
+        xyz = jax.random.uniform(k2, (b, n, 3), minval=-10, maxval=10)
+
+        cov_ref, proba_ref, _ = pointnet2_forward(model, cloud, xyz, mcfg, train=False)
+
+        mesh = make_mesh(8)
+        with mesh:
+            model_r = replicate(mesh, model)
+            cloud_s = jax.device_put(cloud, batch_sharding(mesh, 3))
+            xyz_s = jax.device_put(xyz, batch_sharding(mesh, 3))
+            cov_dp, proba_dp, _ = pointnet2_forward(
+                model_r, cloud_s, xyz_s, mcfg, train=False
+            )
+        np.testing.assert_allclose(
+            np.asarray(cov_ref), np.asarray(cov_dp), rtol=1e-5, atol=1e-6
+        )
+
+    def test_dp_grads_match_single_device(self):
+        """Gradients under batch sharding equal single-device gradients —
+        XLA's implicit psum replaces hand-written allreduce."""
+        from tests.synthetic import make_plot_dataset, tiny_config
+        from stratanet2_tpu.learning.kde import fit_kde_mixture
+        from stratanet2_tpu.learning.losses import total_loss
+        from stratanet2_tpu.models import init_pointnet2, pointnet2_forward
+        from stratanet2_tpu.ops import plotwise_coverages
+
+        cfg = tiny_config()
+        mcfg = cfg.model
+        kde = fit_kde_mixture(np.random.default_rng(0).uniform(0, 20, 1000))
+        kg, kp = jnp.asarray(kde.grid), jnp.asarray(kde.pdfs)
+        model = init_pointnet2(jax.random.PRNGKey(0), mcfg)
+        b, n = 8, mcfg.subsample_size
+        rng = np.random.default_rng(0)
+        cloud = jnp.asarray(rng.uniform(0, 1, (b, n, 10)), jnp.float32)
+        xyz = jnp.asarray(rng.uniform(-10, 10, (b, n, 3)), jnp.float32)
+        gt = jnp.asarray(rng.uniform(0, 1, (b, 4)), jnp.float32)
+
+        def loss_fn(params, cloud, xyz, gt):
+            cov, proba, _ = pointnet2_forward(
+                type(model)(params, model.state), cloud[..., 2:], xyz, mcfg, train=True
+            )
+            pred = plotwise_coverages(cov, cloud[..., :2], mcfg.diam_pix)
+            loss, _ = total_loss(pred, gt, proba, cloud[..., 2] * mcfg.z_max, kg, kp, 0.1, 0.04)
+            return loss
+
+        g_ref = jax.grad(loss_fn)(model.params, cloud, xyz, gt)
+
+        mesh = make_mesh(8)
+        with mesh:
+            params_r = replicate(mesh, model.params)
+            args_s = [
+                jax.device_put(a, batch_sharding(mesh, a.ndim))
+                for a in (cloud, xyz, gt)
+            ]
+            g_dp = jax.jit(jax.grad(loss_fn))(params_r, *args_s)
+
+        for a, b_ in zip(jax.tree_util.tree_leaves(g_ref), jax.tree_util.tree_leaves(g_dp)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=2e-4, atol=1e-6)
