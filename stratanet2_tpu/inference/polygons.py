@@ -1,0 +1,172 @@
+"""Vectorized polygon/raster geometry, replacing shapely/GEOS and
+rasterio.features for the operations this pipeline uses:
+
+- point-in-polygon + point-to-boundary distance -> buffered containment
+  (reference `keep_points_in_shape` / `keep_points_outside_shape`,
+  inference/prepare_utils.py:168-185: `shape.buffer(d).contains(point)`);
+- binary-mask sieve (drop connected components < N pixels, rasterio sieve at
+  inference/geotiff_raster.py:164-166);
+- disk erosion of a binary mask — the raster-space equivalent of
+  "vectorize + negative buffer + rasterize pixel centers" used for the
+  admissibility band (geotiff_raster.py:174-187): a pixel center is inside
+  the -d-buffered polygon union iff the full disk of radius d around it is
+  covered by the mask.
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence, Tuple
+
+import numpy as np
+
+
+class Polygon:
+    """A polygon with optional holes, rings as (K, 2) float arrays."""
+
+    def __init__(self, rings: Sequence[np.ndarray]):
+        assert rings, "polygon needs at least one ring"
+        self.rings = [np.asarray(r, np.float64) for r in rings]
+        for r in self.rings:
+            assert r.ndim == 2 and r.shape[1] == 2
+
+    @property
+    def exterior(self) -> np.ndarray:
+        return self.rings[0]
+
+    def bounds(self) -> Tuple[float, float, float, float]:
+        xy = np.concatenate(self.rings)
+        return xy[:, 0].min(), xy[:, 1].min(), xy[:, 0].max(), xy[:, 1].max()
+
+    def contains(self, pts: np.ndarray) -> np.ndarray:
+        """Even-odd rule over all rings (handles holes). pts (N, 2) -> (N,) bool."""
+        pts = np.atleast_2d(np.asarray(pts, np.float64))
+        inside = np.zeros(len(pts), bool)
+        for ring in self.rings:
+            inside ^= _ray_cast(pts, ring)
+        return inside
+
+    def boundary_distance(self, pts: np.ndarray) -> np.ndarray:
+        """Distance from each point to the nearest ring segment."""
+        pts = np.atleast_2d(np.asarray(pts, np.float64))
+        best = np.full(len(pts), np.inf)
+        for ring in self.rings:
+            best = np.minimum(best, _segments_distance(pts, ring))
+        return best
+
+    def contains_buffered(self, pts: np.ndarray, buffer: float) -> np.ndarray:
+        """point in polygon.buffer(buffer) — for buffer >= 0 equivalent to
+        inside-or-within-distance (what the reference uses for plot-center
+        filtering, prepare_utils.py:146-151)."""
+        pts = np.atleast_2d(np.asarray(pts, np.float64))
+        if buffer <= 0:
+            inside = self.contains(pts)
+            if buffer == 0:
+                return inside
+            return inside & (self.boundary_distance(pts) >= -buffer)
+        return self.contains(pts) | (self.boundary_distance(pts) <= buffer)
+
+
+def _ray_cast(pts: np.ndarray, ring: np.ndarray) -> np.ndarray:
+    """Even-odd ray casting, vectorized over points x segments."""
+    x, y = pts[:, 0][:, None], pts[:, 1][:, None]
+    x1, y1 = ring[:-1, 0][None, :], ring[:-1, 1][None, :]
+    x2, y2 = ring[1:, 0][None, :], ring[1:, 1][None, :]
+    cond = (y1 <= y) != (y2 <= y)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        x_int = x1 + (y - y1) * (x2 - x1) / (y2 - y1)
+    crossings = cond & (x < x_int)
+    return np.sum(crossings, axis=1) % 2 == 1
+
+
+def _segments_distance(pts: np.ndarray, ring: np.ndarray) -> np.ndarray:
+    a = ring[:-1][None, :, :]  # (1, S, 2)
+    b = ring[1:][None, :, :]
+    p = pts[:, None, :]  # (N, 1, 2)
+    ab = b - a
+    denom = np.maximum(np.sum(ab * ab, axis=-1), 1e-300)
+    t = np.clip(np.sum((p - a) * ab, axis=-1) / denom, 0.0, 1.0)
+    proj = a + t[..., None] * ab
+    d2 = np.sum((p - proj) ** 2, axis=-1)
+    return np.sqrt(d2.min(axis=1))
+
+
+def keep_points_in_shape(
+    xy: np.ndarray, poly: Polygon, inclusion_buffer: float
+) -> np.ndarray:
+    """Boolean mask of points inside the buffered shape
+    (prepare_utils.py:168-176)."""
+    return poly.contains_buffered(np.asarray(xy, np.float64), inclusion_buffer)
+
+
+def keep_points_outside_shape(
+    xy: np.ndarray, poly: Polygon, exclusion_buffer: float
+) -> np.ndarray:
+    """Boolean mask of points outside the buffered shape
+    (prepare_utils.py:179-185)."""
+    return ~poly.contains_buffered(np.asarray(xy, np.float64), exclusion_buffer)
+
+
+# ---------------------------------------------------------------------------
+# binary-raster morphology
+# ---------------------------------------------------------------------------
+
+def connected_components(mask: np.ndarray, connectivity: int = 4) -> Tuple[np.ndarray, int]:
+    """Label connected components of a boolean mask. Small rasters only —
+    iterative label propagation (O(iters * H * W))."""
+    mask = np.asarray(mask, bool)
+    h, w = mask.shape
+    labels = np.where(mask, np.arange(h * w).reshape(h, w), -1).astype(np.int64)
+    while True:
+        new = labels.copy()
+        shifts = [(0, 1), (0, -1), (1, 0), (-1, 0)]
+        if connectivity == 8:
+            shifts += [(1, 1), (1, -1), (-1, 1), (-1, -1)]
+        for dy, dx in shifts:
+            sh = np.full_like(labels, -1)
+            ys = slice(max(dy, 0), h + min(dy, 0))
+            xs = slice(max(dx, 0), w + min(dx, 0))
+            ys_src = slice(max(-dy, 0), h + min(-dy, 0))
+            xs_src = slice(max(-dx, 0), w + min(-dx, 0))
+            sh[ys, xs] = labels[ys_src, xs_src]
+            new = np.where(mask & (sh >= 0) & ((new < 0) | (sh < new)), sh, new)
+        if np.array_equal(new, labels):
+            break
+        labels = new
+    uniq = np.unique(labels[labels >= 0])
+    remap = {int(u): i for i, u in enumerate(uniq)}
+    out = np.full_like(labels, -1)
+    for u, i in remap.items():
+        out[labels == u] = i
+    return out, len(uniq)
+
+
+def sieve(values: np.ndarray, min_size: int, mask: np.ndarray | None = None) -> np.ndarray:
+    """Remove connected patches smaller than min_size, replacing them with 0
+    (rasterio.features.sieve semantics for a 0/1 raster as used at
+    geotiff_raster.py:164-166)."""
+    vals = np.asarray(values).copy()
+    valid = ~np.asarray(mask, bool) if mask is not None else np.ones_like(vals, bool)
+    ones = (vals == 1) & valid
+    labels, n = connected_components(ones)
+    for i in range(n):
+        comp = labels == i
+        if comp.sum() < min_size:
+            vals[comp] = 0
+    return vals
+
+
+def erode_disk(mask: np.ndarray, radius_pixels: float) -> np.ndarray:
+    """Erode a boolean mask by a disk: out[p] = all mask pixels within
+    radius of p are True. Equivalent (on the pixel grid) to testing pixel
+    centers against the negative-buffered polygonization of the mask
+    (geotiff_raster.py:174-187)."""
+    mask = np.asarray(mask, bool)
+    h, w = mask.shape
+    r = int(np.floor(radius_pixels))
+    out = mask.copy()
+    pad = np.pad(mask, r + 1, constant_values=False)
+    for dy in range(-r - 1, r + 2):
+        for dx in range(-r - 1, r + 2):
+            if dy * dy + dx * dx <= radius_pixels * radius_pixels:
+                out &= pad[r + 1 + dy : r + 1 + dy + h, r + 1 + dx : r + 1 + dx + w]
+    return out

@@ -1,0 +1,167 @@
+"""Parcel inference driver (reference predict.py + inference/predict_utils.py).
+
+Streams pre-padded static-shape batches of plot clouds to the TPU; the
+forward pass AND the per-plot raster projection run in one jitted program
+(batched_raster_projection — the reference ran a per-pixel Python loop on
+CPU per plot, predict_utils.py:102 / SURVEY.md hot loop #3). Per-plot
+GeoTIFF writing, weighted mosaicking and the shapefile update stay on host.
+
+Both tasks supported:
+- inference: per-plot rasters -> weighted parcel mosaic -> shapefile fields
+  (predict.py:113-148);
+- pseudo_labelling: plot-level coverages written back into the parcel pkl as
+  labels for SSL pretraining (predict.py:104-111, min 2000 pts filter at
+  predict_utils.py:62-71).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import pickle
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from stratanet2_tpu.config import Config
+from stratanet2_tpu.data.loader import PlotLoader
+from stratanet2_tpu.inference.geotiff import get_geotransform, write_geotiff
+from stratanet2_tpu.inference.polygons import Polygon
+from stratanet2_tpu.inference.rasters import (
+    SHP_FIELDS_NAME_DICT,
+    add_weights_band_to_rasters,
+    get_parcel_predicted_values,
+    merge_geotiff_rasters,
+)
+from stratanet2_tpu.models import PointNet2Params, pointnet2_forward
+from stratanet2_tpu.ops import batched_raster_projection, plotwise_coverages
+
+logger = logging.getLogger("stratanet2_tpu")
+
+
+def filter_dataset(dataset: Dict, is_pseudo_labelling: bool, min_points: int = 2000) -> Dict:
+    """Min-points filter for pseudo-labelling (predict_utils.py:62-71)."""
+    if is_pseudo_labelling:
+        return {
+            pid: cd
+            for pid, cd in dataset.items()
+            if cd["N_points_in_cloud"] > min_points
+        }
+    return dataset
+
+
+def make_predict_step(cfg: Config):
+    """Jitted forward + raster projection + plotwise coverages."""
+    mcfg = cfg.model
+
+    @jax.jit
+    def step(model: PointNet2Params, cloud, xyz):
+        cov, proba, _ = pointnet2_forward(model, cloud[..., 2:], xyz, mcfg, train=False)
+        rasters = batched_raster_projection(
+            cloud[..., :2], cov, mcfg.diam_pix, mcfg.diam_meters
+        )
+        pred_pl = plotwise_coverages(cov, cloud[..., :2], mcfg.diam_pix)
+        return rasters, pred_pl
+
+    return step
+
+
+def predict_parcel(
+    model: PointNet2Params,
+    dataset: Dict,
+    cfg: Config,
+    parcel_id: str,
+    output_folder: str,
+    task: str = "inference",
+    parcel_shape: Optional[Polygon] = None,
+    predict_step=None,
+    max_batches: Optional[int] = None,
+) -> Optional[str]:
+    """Run one parcel. Returns the final tif path for inference, or the
+    pseudo-labelled pkl path for pseudo_labelling."""
+    is_pseudo = task == "pseudo_labelling"
+    dataset = filter_dataset(dataset, is_pseudo, cfg.data.min_points_for_pseudo_labelling)
+    if not dataset:
+        logger.warning("Parcel %s: no plots to predict", parcel_id)
+        return None
+    step = predict_step or make_predict_step(cfg)
+    loader = PlotLoader(dataset, cfg, train=False)
+
+    tiff_folder = os.path.join(output_folder, parcel_id)
+    for i, batch in enumerate(loader):
+        rasters, pred_pl = step(
+            model, jnp.asarray(batch["cloud"]), jnp.asarray(batch["xyz"])
+        )
+        rasters = np.asarray(jax.device_get(rasters))
+        pred_pl = np.asarray(jax.device_get(pred_pl))
+        for j in np.where(batch["valid"])[0]:
+            plot_id = batch["plot_id"][j]
+            if is_pseudo:
+                dataset[plot_id]["coverages"] = pred_pl[j]
+            else:
+                with_weights = add_weights_band_to_rasters(
+                    rasters[j], cfg.model.diam_pix
+                )
+                write_geotiff(
+                    os.path.join(tiff_folder, f"{plot_id}.tif"),
+                    with_weights,
+                    get_geotransform(
+                        batch["plot_center"][j], cfg.model.diam_meters, cfg.model.diam_pix
+                    ),
+                )
+        if max_batches is not None and i + 1 >= max_batches:
+            break
+
+    if is_pseudo:
+        out_path = os.path.join(output_folder, parcel_id + ".pkl")
+        os.makedirs(output_folder, exist_ok=True)
+        with open(out_path, "wb") as f:
+            pickle.dump(dataset, f)
+        return out_path
+
+    final_tif = os.path.join(output_folder, f"{parcel_id}.tif")
+    tile_paths = [
+        os.path.join(tiff_folder, f)
+        for f in sorted(os.listdir(tiff_folder))
+        if f.endswith(".tif")
+    ]
+    msg = merge_geotiff_rasters(final_tif, tile_paths, parcel_shape)
+    logger.info(msg)
+    return final_tif
+
+
+def update_shapefile_with_predictions(
+    parcel_shapefile_path: str, output_folder: str
+) -> str:
+    """Copy the parcel shapefile, appending PRED_* float fields from parcel
+    tif band means (inference/predict_utils.py:149-177)."""
+    from stratanet2_tpu.inference.shapefile_io import (
+        FieldSpec,
+        read_shapefile,
+        write_shapefile,
+    )
+
+    tifs = {
+        os.path.splitext(f)[0]: os.path.join(output_folder, f)
+        for f in os.listdir(output_folder)
+        if f.endswith(".tif")
+    }
+    if not tifs:
+        logger.error("No prediction tif file found in %s", output_folder)
+
+    shp = read_shapefile(parcel_shapefile_path)
+    for field in SHP_FIELDS_NAME_DICT:
+        shp.fields.append(FieldSpec(field, "F", length=20, decimals=10))
+    for sr in shp.shape_records:
+        parcel_id = str(sr.record.get("ID"))
+        preds = get_parcel_predicted_values(tifs.get(parcel_id))
+        sr.record.update(preds)
+
+    out_path = os.path.join(
+        output_folder,
+        os.path.splitext(os.path.basename(parcel_shapefile_path))[0],
+    )
+    write_shapefile(out_path, shp)
+    return out_path

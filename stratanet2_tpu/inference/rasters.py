@@ -1,0 +1,207 @@
+"""Raster post-processing and mosaic fusion (reference inference/geotiff_raster.py).
+
+Implements, vectorized in numpy on aligned tile stacks:
+- the per-plot linear-decay weight bands (:103-118),
+- the weighted-average mosaic of overlapping plot rasters — the math of the
+  custom rasterio.merge reducer `_weighted_average_of_rasters` (:294-347)
+  expressed as one accumulation pass over snapped tiles,
+- the hard medium-vegetation band via the 10001-threshold scan (:121-146),
+  vectorized with a sorted-counts formulation that returns the identical
+  argmin threshold,
+- the admissibility band (:149-196) with the sieve + negative-buffer steps
+  done as raster morphology (see polygons.erode_disk),
+- the crop of pixels outside the parcel shape (:238-253).
+
+Band order of the final parcel GeoTIFF matches FINAL_RASTER_BANDNAMES
+(:29-36).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from stratanet2_tpu.data.transforms import get_normalized_x_y_meshgrid
+from stratanet2_tpu.inference.geotiff import GeoTiff, read_geotiff, write_geotiff
+from stratanet2_tpu.inference.polygons import (
+    Polygon,
+    erode_disk,
+    keep_points_outside_shape,
+    sieve,
+)
+
+logger = logging.getLogger("stratanet2_tpu")
+
+FINAL_RASTER_BANDNAMES = [
+    "VegetationBasse",
+    "VegetationIntermediaire",
+    "VegetationHaute",
+    "VegetationIntermediaireDiscretisee",
+    "Admissibilite",
+    "PonderationPredictions",
+]
+
+SHP_FIELDS_NAME_DICT = {
+    "PRED_BASSE": "VegetationBasse",
+    "PRED_INTER": "VegetationIntermediaire",
+    "PRED_HAUTE": "VegetationHaute",
+    "PRED_ADM": "Admissibilite",
+}
+
+
+def add_weights_band_to_rasters(rasters: np.ndarray, diam_pix: int) -> np.ndarray:
+    """Append one linear-decay weight band per score band: w = 1.5 - r on the
+    normalized grid, NaN outside r > 0.5 (geotiff_raster.py:103-118)."""
+    xx, yy = get_normalized_x_y_meshgrid(diam_pix)
+    r = np.sqrt(xx**2 + yy**2)
+    w = 1.5 - r
+    w[r > 0.5] = np.nan
+    n = len(rasters)
+    return np.concatenate([rasters] + [w[None]] * n, axis=0).astype(np.float32)
+
+
+def merge_geotiff_rasters(
+    output_path: str,
+    tile_paths: Sequence[str],
+    parcel_shape: Optional[Polygon] = None,
+) -> str:
+    """Weighted-average fusion of per-plot GeoTIFFs into one parcel raster
+    (geotiff_raster.py:199-235). Tiles carry bands [C1..Cn, W1..Wn]; the
+    output carries the finalized 6 bands."""
+    tiles = [read_geotiff(p) for p in tile_paths]
+    if not tiles:
+        return f"Nothing to merge into {output_path}."
+
+    px_w = tiles[0].geotransform[1]
+    px_h = -tiles[0].geotransform[5]
+    xmin = min(t.bounds[0] for t in tiles)
+    ymax = max(t.bounds[3] for t in tiles)
+    xmax = max(t.bounds[2] for t in tiles)
+    ymin = min(t.bounds[1] for t in tiles)
+    out_w = int(round((xmax - xmin) / px_w))
+    out_h = int(round((ymax - ymin) / px_h))
+    n_scores = tiles[0].bands.shape[0] // 2
+
+    score_sum = np.zeros((n_scores, out_h, out_w), np.float64)
+    weight_sum = np.zeros((n_scores, out_h, out_w), np.float64)
+    any_weight = np.zeros((n_scores, out_h, out_w), bool)
+
+    for t in tiles:
+        # snap tile origin to the output grid (rasterio.merge rounds windows)
+        col = int(round((t.geotransform[0] - xmin) / px_w))
+        row = int(round((ymax - t.geotransform[3]) / px_h))
+        th, tw = t.bands.shape[1:]
+        sl = (slice(row, row + th), slice(col, col + tw))
+        for c in range(n_scores):
+            score = t.bands[c].astype(np.float64)
+            w = t.bands[n_scores + c].astype(np.float64)
+            valid = ~np.isnan(score) & ~np.isnan(w)
+            score_sum[c][sl] += np.where(valid, score * w, 0.0)
+            weight_sum[c][sl] += np.where(valid, w, 0.0)
+            any_weight[c][sl] |= valid
+
+    with np.errstate(invalid="ignore", divide="ignore"):
+        scores = score_sum / weight_sum
+    scores[~any_weight] = np.nan
+    weights = np.where(any_weight, weight_sum, np.nan)
+
+    mosaic = np.concatenate([scores, weights], axis=0).astype(np.float32)
+    mosaic = finalize_merged_raster(mosaic)
+    geotransform = [xmin, px_w, 0.0, ymax, 0.0, -px_h]
+    if parcel_shape is not None:
+        mosaic = crop_merged_raster(mosaic, parcel_shape, geotransform)
+
+    write_geotiff(
+        output_path, mosaic, geotransform,
+        epsg=tiles[0].epsg or 2154, band_names=FINAL_RASTER_BANDNAMES,
+    )
+    return f"Saved merged raster prediction to {output_path}"
+
+
+def insert_hard_med_veg_raster_band(mosaic: np.ndarray) -> np.ndarray:
+    """Insert the binarized medium-vegetation band whose hard coverage best
+    matches the soft mean (geotiff_raster.py:121-146). The reference scans
+    10001 thresholds in a Python loop; the sorted-counts form below computes
+    the same |target - mean(hard(t))| curve exactly, vectorized."""
+    med = mosaic[1]
+    valid = ~np.isnan(med)
+    vals = med[valid]
+    target = vals.mean() if vals.size else np.nan
+
+    lin = np.linspace(0, 1, 10001)
+    if vals.size:
+        sorted_vals = np.sort(vals)
+        n_above = vals.size - np.searchsorted(sorted_vals, lin, side="right")
+        frac = n_above / vals.size
+        threshold = lin[np.argmin(np.abs(target - frac))]
+    else:
+        threshold = 0.5
+    hard = np.where(valid, (med > threshold).astype(np.float32), np.nan)
+    return np.insert(mosaic, 3, hard, axis=0)
+
+
+def insert_admissibility_raster(mosaic: np.ndarray, px_per_meter: float = 1.0) -> np.ndarray:
+    """Insert the admissibility band (geotiff_raster.py:149-196):
+    max(Vb, Vm_soft), zeroed inside sieve-filtered, 1.5 m-eroded
+    medium-vegetation zones, NaN outside predictions."""
+    veg_b, veg_moy_soft, veg_moy_hard = mosaic[0], mosaic[1], mosaic[3]
+    nanmask = np.isnan(veg_moy_hard)
+
+    hard_int = np.where(nanmask, 0, veg_moy_hard).astype(np.int16)
+    hard_sieve = sieve(hard_int, 5, mask=nanmask)
+    hard_sieve = np.where(nanmask, 1, hard_sieve)
+    # keep zero patches surrounded by ones, not the converse (:169-172)
+    hard_sieve = np.minimum(np.where(nanmask, 1.0, veg_moy_hard), hard_sieve)
+
+    # negative 1.5 m buffer of the medium-veg zones == disk erosion
+    inaccessible = erode_disk(hard_sieve >= 1.0, 1.5 * px_per_meter)
+
+    admissibility = np.fmax(veg_b, veg_moy_soft)
+    admissibility = np.where(inaccessible, 0.0, admissibility)
+    admissibility = np.where(nanmask, np.nan, admissibility)
+    return np.insert(mosaic, 4, admissibility.astype(np.float32), axis=0)
+
+
+def finalize_merged_raster(mosaic: np.ndarray) -> np.ndarray:
+    """Keep 3 preds + 1 weight band, insert hard-Vm and admissibility bands,
+    zero NaNs where at least one band predicted (geotiff_raster.py:273-291)."""
+    mosaic = mosaic[: 3 + 1]
+    mosaic = insert_hard_med_veg_raster_band(mosaic)
+    no_pred = np.sum(np.isnan(mosaic[:3]), axis=0) == 3
+    mosaic = np.nan_to_num(mosaic, nan=0.0)
+    mosaic[:, no_pred] = np.nan
+    mosaic = insert_admissibility_raster(mosaic)
+    return mosaic
+
+
+def crop_merged_raster(
+    mosaic: np.ndarray, parcel_shape: Polygon, geotransform: List[float]
+) -> np.ndarray:
+    """NaN-out pixels whose center lies outside the parcel shape
+    (geotiff_raster.py:238-253)."""
+    h, w = mosaic.shape[1:]
+    cols, rows = np.meshgrid(np.arange(w) + 0.5, np.arange(h) + 0.5)
+    xs = geotransform[0] + cols * geotransform[1]
+    ys = geotransform[3] + rows * geotransform[5]
+    pts = np.stack([xs.ravel(), ys.ravel()], axis=1)
+    outside = keep_points_outside_shape(pts, parcel_shape, 0.0).reshape(h, w)
+    mosaic = mosaic.copy()
+    mosaic[:, outside] = np.nan
+    return mosaic
+
+
+def get_parcel_predicted_values(tif_path: Optional[str]) -> dict:
+    """Parcel-level band means for the shapefile fields
+    (inference/predict_utils.py:124-146)."""
+    preds = {}
+    if tif_path is not None:
+        tif = read_geotiff(tif_path)
+        band_means = np.nanmean(tif.bands[:5], axis=(1, 2))
+        for shp_field, band_name in SHP_FIELDS_NAME_DICT.items():
+            preds[shp_field] = float(band_means[FINAL_RASTER_BANDNAMES.index(band_name)])
+    else:
+        preds = {k: -1.0 for k in SHP_FIELDS_NAME_DICT}
+    return preds

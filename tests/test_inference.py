@@ -1,0 +1,272 @@
+"""Inference-chain tests: GeoTIFF/shapefile I/O round-trips, polygon ops,
+fusion math vs literal transcriptions of the reference formulas, and an
+end-to-end synthetic parcel run."""
+
+import os
+
+import numpy as np
+import pytest
+
+from stratanet2_tpu.inference import geotiff as G
+from stratanet2_tpu.inference import polygons as P
+from stratanet2_tpu.inference import rasters as R
+from stratanet2_tpu.inference import shapefile_io as S
+
+
+class TestGeoTiff:
+    def test_roundtrip(self, rng, tmp_path):
+        bands = rng.uniform(0, 1, (6, 20, 20)).astype(np.float32)
+        bands[0, 3, 4] = np.nan
+        gt = [1000.0, 1.0, 0.0, 2000.0, 0.0, -1.0]
+        p = str(tmp_path / "t.tif")
+        G.write_geotiff(p, bands, gt, epsg=2154, band_names=R.FINAL_RASTER_BANDNAMES)
+        out = G.read_geotiff(p)
+        np.testing.assert_array_equal(out.bands, bands)
+        np.testing.assert_allclose(out.geotransform, gt)
+        assert out.epsg == 2154
+        assert out.band_names == R.FINAL_RASTER_BANDNAMES
+
+    def test_bounds(self, tmp_path):
+        bands = np.zeros((1, 10, 20), np.float32)
+        gt = [100.0, 2.0, 0.0, 500.0, 0.0, -2.0]
+        p = str(tmp_path / "b.tif")
+        G.write_geotiff(p, bands, gt)
+        out = G.read_geotiff(p)
+        assert out.bounds == (100.0, 480.0, 140.0, 500.0)
+
+
+def square(x0, y0, w):
+    return P.Polygon([
+        np.array([[x0, y0], [x0 + w, y0], [x0 + w, y0 + w], [x0, y0 + w], [x0, y0]])
+    ])
+
+
+class TestPolygons:
+    def test_contains(self):
+        poly = square(0, 0, 10)
+        pts = np.array([[5, 5], [15, 5], [-1, -1], [9.99, 9.99]])
+        np.testing.assert_array_equal(
+            poly.contains(pts), [True, False, False, True]
+        )
+
+    def test_contains_with_hole(self):
+        outer = np.array([[0, 0], [10, 0], [10, 10], [0, 10], [0, 0]], float)
+        hole = np.array([[4, 4], [6, 4], [6, 6], [4, 6], [4, 4]], float)
+        poly = P.Polygon([outer, hole])
+        assert poly.contains(np.array([[2, 2]]))[0]
+        assert not poly.contains(np.array([[5, 5]]))[0]
+
+    def test_buffered_containment(self):
+        poly = square(0, 0, 10)
+        pts = np.array([[12, 5], [14, 5], [5, 5]])
+        got = P.keep_points_in_shape(pts, poly, 3.0)
+        np.testing.assert_array_equal(got, [True, False, True])
+        out = P.keep_points_outside_shape(pts, poly, 3.0)
+        np.testing.assert_array_equal(out, [False, True, False])
+
+    def test_sieve(self):
+        m = np.zeros((10, 10), np.int16)
+        m[0:3, 0:3] = 1  # 9 px — keep
+        m[8, 8] = 1  # 1 px — drop
+        out = P.sieve(m, 5)
+        assert out[1, 1] == 1 and out[8, 8] == 0
+
+    def test_erode_disk(self):
+        m = np.zeros((11, 11), bool)
+        m[2:9, 2:9] = True
+        out = P.erode_disk(m, 1.5)
+        assert out[5, 5]
+        assert not out[2, 2]  # near the edge, disk leaves the mask
+        assert out.sum() < m.sum()
+
+
+class TestShapefile:
+    def test_roundtrip(self, tmp_path, rng):
+        poly1 = square(0, 0, 100)
+        poly2 = square(500, 500, 50)
+        shp = S.Shapefile(
+            fields=[S.FieldSpec("ID", "C", 16), S.FieldSpec("AREA", "N", 12, 2)],
+            shape_records=[
+                S.ShapeRecord(poly1, {"ID": "parcel_A", "AREA": 10000.0}),
+                S.ShapeRecord(poly2, {"ID": "parcel_B", "AREA": 2500.0}),
+            ],
+        )
+        p = str(tmp_path / "parcels.shp")
+        S.write_shapefile(p, shp)
+        assert os.path.exists(tmp_path / "parcels.shx")
+        out = S.read_shapefile(p)
+        assert [f.name for f in out.fields] == ["ID", "AREA"]
+        assert out.shape_records[0].record["ID"] == "parcel_A"
+        assert out.shape_records[1].record["AREA"] == 2500.0
+        got = out.get_shape("parcel_B")
+        np.testing.assert_allclose(got.exterior, poly2.exterior)
+
+
+class TestRasterFusion:
+    def test_weights_band_reference_math(self):
+        rasters = np.zeros((3, 20, 20), np.float32)
+        out = R.add_weights_band_to_rasters(rasters, 20)
+        assert out.shape == (6, 20, 20)
+        w = out[3]
+        # center pixels: r ~ 0.5/20*sqrt(2) -> w ~ 1.46 (geotiff_raster.py:112)
+        assert w[10, 10] == pytest.approx(1.5 - np.sqrt(2 * (0.5 / 20) ** 2), abs=1e-6)
+        assert np.isnan(w[0, 0])  # corner r > 0.5
+        np.testing.assert_array_equal(out[4], w)
+
+    def test_weighted_average_two_tiles(self, tmp_path, rng):
+        """Two overlapping tiles: fused score must equal the weighted mean
+        (the reducer math, geotiff_raster.py:294-347)."""
+        p1, p2 = str(tmp_path / "a.tif"), str(tmp_path / "b.tif")
+        sc1 = np.full((3, 4, 4), 0.2, np.float32)
+        sc2 = np.full((3, 4, 4), 0.8, np.float32)
+        w1 = np.full((3, 4, 4), 1.0, np.float32)
+        w2 = np.full((3, 4, 4), 3.0, np.float32)
+        G.write_geotiff(p1, np.concatenate([sc1, w1]), [0, 1, 0, 4, 0, -1])
+        # second tile shifted 2 px right
+        G.write_geotiff(p2, np.concatenate([sc2, w2]), [2, 1, 0, 4, 0, -1])
+        out_p = str(tmp_path / "m.tif")
+        R.merge_geotiff_rasters(out_p, [p1, p2], parcel_shape=None)
+        out = G.read_geotiff(out_p)
+        assert out.band_names == R.FINAL_RASTER_BANDNAMES
+        vb = out.bands[0]
+        assert vb.shape == (4, 6)
+        np.testing.assert_allclose(vb[:, :2], 0.2, rtol=1e-6)  # tile 1 only
+        np.testing.assert_allclose(vb[:, 4:], 0.8, rtol=1e-6)  # tile 2 only
+        np.testing.assert_allclose(
+            vb[:, 2:4], (0.2 * 1 + 0.8 * 3) / 4, rtol=1e-6
+        )  # overlap
+        wsum = out.bands[5]
+        np.testing.assert_allclose(wsum[:, 2:4], 4.0, rtol=1e-6)
+
+    def test_hard_band_matches_literal_scan(self, rng):
+        med = rng.uniform(0, 1, (20, 20)).astype(np.float32)
+        med[0, :5] = np.nan
+        mosaic = np.stack([med * 0.5, med, med * 0.2, np.ones_like(med)])
+        got = R.insert_hard_med_veg_raster_band(mosaic.copy())
+        # literal reference loop (geotiff_raster.py:134-141)
+        mask = np.isnan(med)
+        target = np.nanmean(med)
+        lin = np.linspace(0, 1, 10001)
+        delta = np.ones_like(lin)
+        for i, t in enumerate(lin):
+            h = 1.0 * (med > t)
+            h[mask] = np.nan
+            delta[i] = abs(target - np.nanmean(h))
+        thr = lin[np.argmin(delta)]
+        want = 1.0 * (med > thr)
+        want[mask] = np.nan
+        np.testing.assert_array_equal(got[3], want.astype(np.float32))
+        assert got.shape[0] == 5
+
+    def test_admissibility_band(self):
+        h = w = 20
+        veg_b = np.full((h, w), 0.3, np.float32)
+        veg_m = np.full((h, w), 0.6, np.float32)
+        hard = np.zeros((h, w), np.float32)
+        hard[5:15, 5:15] = 1.0  # a 10x10 medium-veg block
+        mosaic = np.stack([veg_b, veg_m, veg_m * 0.5, hard])
+        out = R.insert_admissibility_raster(mosaic)
+        adm = out[4]
+        # deep inside the block: inaccessible -> 0
+        assert adm[10, 10] == 0.0
+        # far outside: max(veg_b, veg_m) = 0.6
+        assert adm[0, 0] == pytest.approx(0.6)
+        # the eroded zone is strictly inside the hard block
+        assert (adm[5:15, 5:15] == 0).sum() < 100
+
+    def test_crop_to_shape(self):
+        mosaic = np.ones((6, 10, 10), np.float32)
+        gt = [0.0, 1.0, 0.0, 10.0, 0.0, -1.0]
+        out = R.crop_merged_raster(mosaic, square(0, 0, 5), gt)
+        # pixels with center inside [0,5]x[0,5] survive: cols 0-4, rows 5-9
+        assert np.isnan(out[0, 0, 0])
+        assert out[0, 9, 0] == 1.0
+        assert np.isnan(out[0, 9, 9])
+
+
+class TestEndToEndParcel:
+    def test_prepare_predict_mosaic_shapefile(self, tmp_path):
+        """Synthetic parcel -> tiling -> batched TPU predict -> per-plot tiffs
+        -> weighted mosaic -> shapefile update (reference predict.py flow)."""
+        import jax
+        from dataclasses import replace
+        from tests.synthetic import make_plot_cloud, tiny_config
+        from stratanet2_tpu.inference.tiling import (
+            divide_parcel_las_and_get_disk_centers,
+            extract_plots_from_parcel,
+        )
+        from stratanet2_tpu.inference.predict import (
+            predict_parcel,
+            update_shapefile_with_predictions,
+        )
+        from stratanet2_tpu.data.las import write_las
+        from stratanet2_tpu.models import init_pointnet2
+
+        cfg = tiny_config()
+        rng = np.random.default_rng(0)
+
+        # synthetic 40x40m parcel
+        clouds = []
+        for cx in (10, 30):
+            for cy in (10, 30):
+                clouds.append(make_plot_cloud(rng, n=800, center=(cx, cy), radius=12))
+        parcel = np.concatenate(clouds, axis=1)
+        las_path = str(tmp_path / "PARCEL1.las")
+        write_las(
+            las_path,
+            {
+                "x": parcel[0], "y": parcel[1], "z": parcel[2],
+                "red": parcel[3], "green": parcel[4], "blue": parcel[5],
+                "nir": parcel[6], "intensity": parcel[7],
+                "return_num": parcel[8], "num_returns": parcel[9],
+            },
+        )
+        shape = square(0, 0, 40)
+
+        centers, parcel_cloud = divide_parcel_las_and_get_disk_centers(
+            cfg, las_path, shape
+        )
+        assert len(centers) >= 4
+        plots = extract_plots_from_parcel(cfg, parcel_cloud, centers)
+        assert len(plots) >= 4
+
+        model = init_pointnet2(jax.random.PRNGKey(0), cfg.model)
+        out_dir = str(tmp_path / "inference" / "model_x")
+        tif = predict_parcel(
+            model, plots, cfg, "PARCEL1", out_dir, task="inference",
+            parcel_shape=shape,
+        )
+        assert tif and os.path.exists(tif)
+        out = G.read_geotiff(tif)
+        assert out.bands.shape[0] == 6
+        assert out.band_names == R.FINAL_RASTER_BANDNAMES
+        # coverage values in [0,1] where defined
+        vb = out.bands[0]
+        assert np.nanmin(vb) >= 0 and np.nanmax(vb) <= 1
+
+        # pseudo-labelling task
+        plots_pl = {
+            k: dict(v, N_points_in_cloud=3000) for k, v in plots.items()
+        }
+        pkl = predict_parcel(
+            model, plots_pl, cfg, "PARCEL1", str(tmp_path / "pseudo"),
+            task="pseudo_labelling",
+        )
+        import pickle
+
+        with open(pkl, "rb") as f:
+            labelled = pickle.load(f)
+        assert all(v["coverages"].shape == (4,) for v in labelled.values())
+
+        # shapefile update
+        shp = S.Shapefile(
+            fields=[S.FieldSpec("ID", "C", 16)],
+            shape_records=[S.ShapeRecord(shape, {"ID": "PARCEL1"})],
+        )
+        shp_path = str(tmp_path / "parcels.shp")
+        S.write_shapefile(shp_path, shp)
+        out_shp = update_shapefile_with_predictions(shp_path, out_dir)
+        re_read = S.read_shapefile(out_shp)
+        rec = re_read.shape_records[0].record
+        assert {"PRED_BASSE", "PRED_INTER", "PRED_HAUTE", "PRED_ADM"} <= set(rec)
+        assert 0 <= rec["PRED_BASSE"] <= 1
