@@ -1,0 +1,64 @@
+"""Cross-validated training entry point (reference main.py).
+
+Usage: python -m stratanet2_tpu.cli.main --mode DEV --las_plots_folder_path ...
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+from stratanet2_tpu.config import parse_config
+from stratanet2_tpu.data.dataset import (
+    load_pickled_dataset,
+    prepare_and_save_plots_dataset,
+)
+from stratanet2_tpu.learning.crossval import cross_validate
+from stratanet2_tpu.learning.kde import (
+    fit_kde_mixture_from_dataset,
+    plot_kde_mixture,
+)
+from stratanet2_tpu.utils.experiment import (
+    MetricSink,
+    create_logger,
+    setup_experiment_folder,
+)
+
+
+def main(argv=None):
+    cfg, _ns = parse_config(argv)
+    stats_path = setup_experiment_folder(cfg.experiments_path, "learning", cfg.mode)
+    logger = create_logger(stats_path)
+    sink = MetricSink(stats_path)
+    sink.log_parameters({"cfg": str(cfg)})
+    logger.info("cfg: %s", cfg)
+
+    dataset = prepare_and_save_plots_dataset(cfg, cfg.data.corrected_gt_file_path)
+    logger.info("Dataset contains %d plots.", len(dataset))
+
+    kde = fit_kde_mixture_from_dataset(dataset)
+    for x_lim in (3, 25):
+        plot_kde_mixture(
+            kde,
+            os.path.join(stats_path, f"img/kde_mixture/kde_mixture_x_lim={x_lim}.png"),
+            x_lim=x_lim,
+        )
+
+    # warm start from an SSL-pretrained checkpoint (--PT_model_id,
+    # reference learning/train.py:212-223)
+    pretrained_path = None
+    if _ns.PT_model_id:
+        from stratanet2_tpu.utils.checkpoint import find_checkpoint_by_experiment
+
+        pretrained_path = find_checkpoint_by_experiment(
+            cfg.experiments_path, _ns.PT_model_id
+        )
+        logger.info("Warm-starting from pretrained model %s", pretrained_path)
+
+    cross_validate(dataset, cfg, kde, stats_path, sink, pretrained_path=pretrained_path)
+    sink.close()
+    return stats_path
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

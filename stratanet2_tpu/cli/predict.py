@@ -1,0 +1,94 @@
+"""Prediction entry point (reference predict.py): per-parcel batched TPU
+inference producing fused coverage GeoTIFFs (--task inference) or
+pseudo-labels for SSL pretraining (--task pseudo_labelling)."""
+
+from __future__ import annotations
+
+import argparse
+import os
+import pickle
+import sys
+
+import jax
+import jax.numpy as jnp
+
+from stratanet2_tpu.config import parse_config
+from stratanet2_tpu.inference.predict import (
+    make_predict_step,
+    predict_parcel,
+    update_shapefile_with_predictions,
+)
+from stratanet2_tpu.inference.shapefile_io import read_shapefile
+from stratanet2_tpu.models import PointNet2Params
+from stratanet2_tpu.utils import checkpoint as ckpt
+from stratanet2_tpu.utils.experiment import create_logger, setup_experiment_folder
+from stratanet2_tpu.utils.worklist import get_unprocessed_files, stem
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="predict", add_help=False)
+    parser.add_argument(
+        "--task", default="inference", choices=["inference", "pseudo_labelling"]
+    )
+    ns_local, rest = parser.parse_known_args(argv)
+    cfg, ns = parse_config(argv)
+
+    stats_path = setup_experiment_folder(cfg.experiments_path, ns_local.task, cfg.mode)
+    logger = create_logger(stats_path)
+    is_pseudo = ns_local.task == "pseudo_labelling"
+
+    model_id = ns.inference_model_id
+    assert model_id, "--inference_model_id required (experiment id of checkpoint)"
+    model_path = ckpt.find_checkpoint_by_experiment(cfg.experiments_path, model_id)
+    payload = ckpt.load_checkpoint(model_path)
+    model = PointNet2Params(
+        jax.tree_util.tree_map(jnp.asarray, payload["params"]),
+        jax.tree_util.tree_map(jnp.asarray, payload["model_state"]),
+    )
+    logger.info("Loaded model %s from %s", model_id, model_path)
+
+    input_folder = os.path.join(cfg.data.las_parcels_folder_path, "prepared")
+    output_folder = os.path.join(
+        cfg.data.las_parcels_folder_path, ns_local.task, model_id
+    )
+    os.makedirs(output_folder, exist_ok=True)
+
+    shp = None
+    if not is_pseudo:
+        shp = read_shapefile(cfg.data.parcel_shapefile_path)
+
+    predict_step = make_predict_step(cfg)
+    max_batches = 10 if cfg.mode == "DEV" else None
+
+    while True:
+        unprocessed = [
+            f
+            for f in get_unprocessed_files(input_folder, output_folder)
+            if f.endswith(".pkl")
+        ]
+        if not unprocessed:
+            logger.info("No more prepared parcel to predict on in %s", input_folder)
+            break
+        logger.info("N=%d prepared parcels to process.", len(unprocessed))
+        filename = unprocessed.pop(0)
+        parcel_id = stem(filename)
+
+        with open(filename, "rb") as f:
+            dataset = pickle.load(f)
+        parcel_shape = shp.get_shape(parcel_id) if shp is not None else None
+        predict_parcel(
+            model, dataset, cfg, parcel_id, output_folder,
+            task=ns_local.task, parcel_shape=parcel_shape,
+            predict_step=predict_step, max_batches=max_batches,
+        )
+        if cfg.mode == "DEV":
+            break
+
+    if not is_pseudo:
+        update_shapefile_with_predictions(
+            cfg.data.parcel_shapefile_path, output_folder
+        )
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])
