@@ -98,11 +98,29 @@ def extract_plots_from_parcel(
 
     Returns the same {plot_id: cloud_data} structure as the plot dataset.
     """
-    tree = cKDTree(parcel_cloud[:2].T, leafsize=50)
     radius = cfg.model.diam_meters // 2
+    xy = parcel_cloud[:2].T
+    centers_arr = np.stack(plot_centers) if plot_centers else np.zeros((0, 2))
+
+    # native C++ grid index when built, else scipy cKDTree (the reference's
+    # mechanism, prepare.py:76)
+    try:
+        from stratanet2_tpu.data import native
+
+        use_native = native.available()
+    except ImportError:
+        use_native = False
+    if use_native and len(centers_arr):
+        offsets, indices = native.disk_query(xy, centers_arr, radius)
+        queries = [
+            indices[offsets[q] : offsets[q + 1]] for q in range(len(centers_arr))
+        ]
+    else:
+        tree = cKDTree(xy, leafsize=50)
+        queries = [tree.query_ball_point(c, r=radius) for c in plot_centers]
+
     plots: Dict[str, Dict] = {}
-    for idx, center in enumerate(plot_centers):
-        pt_idx = tree.query_ball_point(center, r=radius)
+    for idx, (center, pt_idx) in enumerate(zip(plot_centers, queries)):
         if len(pt_idx) < MIN_N_POINTS_FOR_INFERENCE:
             continue
         cloud = parcel_cloud[:, pt_idx]
