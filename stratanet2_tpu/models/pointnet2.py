@@ -180,12 +180,12 @@ def pointnet2_forward(
     h, new_s["fp3"] = nn.mlp(p["fp3"], s["fp3"], h, train=train, compute_dtype=dt)
 
     # FP2: 625 -> 2500, k=3 (model/point_net2.py:92).
-    h = knn_interpolate(h, pos2, pos1, k=3, chunk=cfg.knn_chunk)
+    h = knn_interpolate(h, pos2, pos1, k=3, chunk=cfg.knn_chunk, use_pallas=cfg.use_pallas)
     h = jnp.concatenate([h, x1], axis=-1)
     h, new_s["fp2"] = nn.mlp(p["fp2"], s["fp2"], h, train=train, compute_dtype=dt)
 
     # FP1: 2500 -> N, k=3 (model/point_net2.py:93).
-    h = knn_interpolate(h, pos1, pos0, k=3, chunk=cfg.knn_chunk)
+    h = knn_interpolate(h, pos1, pos0, k=3, chunk=cfg.knn_chunk, use_pallas=cfg.use_pallas)
     h = jnp.concatenate([h, x0], axis=-1)
     h, new_s["fp1"] = nn.mlp(p["fp1"], s["fp1"], h, train=train, compute_dtype=dt)
 

@@ -35,13 +35,14 @@ def _iterative_min_k(d2: jax.Array, k: int):
     return jnp.stack(vals, axis=-1), jnp.stack(idxs, axis=-1)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "chunk"))
+@functools.partial(jax.jit, static_argnames=("k", "chunk", "use_pallas"))
 def knn_interpolate(
     x_src: jax.Array,
     pos_src: jax.Array,
     pos_tgt: jax.Array,
     k: int = 3,
     chunk: int = 1024,
+    use_pallas: bool = False,
 ) -> jax.Array:
     """Interpolate source features onto target positions.
 
@@ -55,6 +56,10 @@ def knn_interpolate(
     Returns:
       (..., T, F) interpolated features.
     """
+    if use_pallas and pos_tgt.ndim == 3 and jax.default_backend() == "tpu":
+        from stratanet2_tpu.ops.pallas_kernels import knn_interpolate_pallas
+
+        return knn_interpolate_pallas(x_src, pos_src, pos_tgt, k=k)
     if pos_tgt.ndim == 2:
         return _knn_single(x_src, pos_src, pos_tgt, k, chunk)
     fn = functools.partial(_knn_single, k=k, chunk=chunk)

@@ -108,3 +108,139 @@ def fps_pallas_batched(
 def fps_pallas(xyz: jax.Array, n_samples: int, start_idx: jax.Array) -> jax.Array:
     """Single-cloud wrapper: (N, 3) -> (n_samples,)."""
     return fps_pallas_batched(xyz[None], n_samples, jnp.reshape(start_idx, (1,)))[0]
+
+
+# ---------------------------------------------------------------------------
+# fused kNN interpolation
+# ---------------------------------------------------------------------------
+#
+# The lax path (ops/knn.py) materializes the (T, S) distance matrix in HBM
+# and re-reads it for each of the k argmin passes (~3 GB of traffic for the
+# FP1 stage at B=32, T=4096, S=1024). This kernel computes each distance
+# tile in VMEM, runs the k exact argmin passes on-chip, and gathers the
+# selected source features with a one-hot MXU matmul — HBM traffic drops to
+# the inputs + outputs.
+
+
+def _knn_kernel(k: int, s_valid: int):
+    def kernel(tgt_ref, src_ref, feat_ref, out_ref, idx_ref, w_ref):
+        # tgt_ref: (1, TC, 3); src_ref: (1, S, 3); feat_ref: (1, S, F)
+        # out_ref: (1, TC, F); idx_ref/w_ref: (1, TC, k)
+        tc = tgt_ref.shape[1]
+        s = src_ref.shape[1]
+        tgt = tgt_ref[0]
+        src = src_ref[0]
+        d2 = jnp.zeros((tc, s), jnp.float32)
+        for d in range(3):
+            diff = tgt[:, d][:, None] - src[:, d][None, :]
+            d2 = d2 + diff * diff
+        col = jax.lax.broadcasted_iota(jnp.int32, (tc, s), 1)
+        d2 = jnp.where(col < s_valid, d2, jnp.float32(3.4e38))
+
+        feats = feat_ref[0]  # (S, F)
+        acc = jnp.zeros((tc, out_ref.shape[2]), jnp.float32)
+        wsum = jnp.zeros((tc, 1), jnp.float32)
+        ws, idxs = [], []
+        for j in range(k):
+            dmin = jnp.min(d2, axis=1)
+            idx = jnp.argmin(d2, axis=1).astype(jnp.int32)
+            onehot = (col == idx[:, None]).astype(jnp.float32)
+            w = 1.0 / jnp.maximum(dmin, 1e-16)
+            sel = jax.lax.dot_general(
+                onehot, feats,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            acc = acc + sel * w[:, None]
+            wsum = wsum + w[:, None]
+            idxs.append(idx)
+            ws.append(w)
+            d2 = jnp.where(onehot > 0, jnp.float32(3.4e38), d2)
+        out_ref[0] = acc / wsum
+        idx_ref[0] = jnp.stack(idxs, axis=-1)
+        w_ref[0] = jnp.stack(ws, axis=-1) / wsum
+
+    return kernel
+
+
+def _knn_pallas_raw(x_src, pos_src, pos_tgt, k: int, tc: int = 1024):
+    b, s, f = x_src.shape
+    t = pos_tgt.shape[1]
+    tc = min(tc, t)
+    tpad = _round_up(t, tc)
+    if tpad != t:
+        pos_tgt = jnp.concatenate(
+            [pos_tgt, jnp.broadcast_to(pos_tgt[:, :1], (b, tpad - t, 3))], axis=1
+        )
+    n_chunks = tpad // tc
+
+    out, idx, w = pl.pallas_call(
+        _knn_kernel(k, s),
+        grid=(b, n_chunks),
+        in_specs=[
+            pl.BlockSpec((1, tc, 3), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s, 3), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s, f), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, tc, f), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tc, k), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tc, k), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, tpad, f), jnp.float32),
+            jax.ShapeDtypeStruct((b, tpad, k), jnp.int32),
+            jax.ShapeDtypeStruct((b, tpad, k), jnp.float32),
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )(
+        pos_tgt.astype(jnp.float32),
+        pos_src.astype(jnp.float32),
+        x_src.astype(jnp.float32),
+    )
+    return out[:, :t], idx[:, :t], w[:, :t]
+
+
+@functools.lru_cache(maxsize=None)
+def _knn_pallas_for_k(k: int):
+    """custom_vjp closure for a given (static) k.
+
+    Differentiable in x_src; positions are treated as constants (they are
+    raw input coordinates in this model, never parameter-dependent — the
+    reference's knn index search also runs under no_grad,
+    torch_geometric knn_interpolate)."""
+
+    @jax.custom_vjp
+    def knn(x_src, pos_src, pos_tgt):
+        out, _idx, _w = _knn_pallas_raw(x_src, pos_src, pos_tgt, k)
+        return out.astype(x_src.dtype)
+
+    def fwd(x_src, pos_src, pos_tgt):
+        out, idx, w = _knn_pallas_raw(x_src, pos_src, pos_tgt, k)
+        # zero-size token carries the source shape/dtype into bwd
+        token = jnp.zeros((x_src.shape[0], x_src.shape[1], x_src.shape[2], 0), x_src.dtype)
+        return out.astype(x_src.dtype), (idx, w, token)
+
+    def bwd(res, g):
+        idx, w, token = res
+        b, s, f, _ = token.shape
+        src_dtype = token.dtype
+        t = idx.shape[1]
+        # dx_src[b, idx[b,t,j]] += w[b,t,j] * g[b,t]
+        vals = (w[..., None] * g.astype(jnp.float32)[:, :, None, :]).reshape(-1, f)
+        offs = (jnp.arange(b, dtype=jnp.int32) * s)[:, None, None]
+        ids = (idx + offs).reshape(-1)
+        dx = jax.ops.segment_sum(vals, ids, num_segments=b * s).reshape(b, s, f)
+        zeros3 = jnp.zeros((b, s, 3), jnp.float32)
+        zeros_t = jnp.zeros((b, t, 3), jnp.float32)
+        return dx.astype(src_dtype), zeros3, zeros_t
+
+    knn.defvjp(fwd, bwd)
+    return knn
+
+
+def knn_interpolate_pallas(x_src, pos_src, pos_tgt, k: int = 3):
+    """Batched fused kNN interpolation: (B,S,F), (B,S,3), (B,T,3) -> (B,T,F).
+
+    Exact inverse-d^2 k-NN (torch_geometric semantics, same as ops.knn)."""
+    return _knn_pallas_for_k(int(k))(x_src, pos_src, pos_tgt)
