@@ -78,9 +78,13 @@ def _ball_query_single(centroids, points, radius, k, chunk):
         # lax.top_k here). Recall < 1 only reorders which in-radius points
         # fill the K slots — the reference itself keeps an arbitrary <=2000
         # subset (model/point_net2.py:24), and the downstream aggregation is
-        # a masked max, so exact nearest-K is not required.
+        # a masked max, so exact nearest-K is not required. On TPU the
+        # selection runs on bf16 scores (halves the HBM traffic of the score
+        # matrix); the radius mask itself stays exact f32.
+        if jax.default_backend() == "tpu":
+            score = score.astype(jnp.bfloat16)
         val, idx = jax.lax.approx_min_k(score, k, aggregate_to_topk=True)
-        mask = val < _BIG * 0.5
+        mask = val.astype(jnp.float32) < _BIG * 0.5
         idx = jnp.where(mask, idx, 0)
         return idx.astype(jnp.int32), mask
 
