@@ -19,9 +19,89 @@ comparable across rounds.
 from __future__ import annotations
 
 import json
+import sys
 import time
 
 NORTH_STAR_POINTS_PER_SEC = 5.0e6
+
+
+def bench_all():
+    """Extra benchmark configs from BASELINE.md (run with `--all`): raster
+    projection op, full training step, synthetic parcel pipeline wall-clock.
+    Each prints its own JSON line after the primary metric."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from dataclasses import replace
+
+    from stratanet2_tpu.config import Config
+
+    results = []
+    cfg = replace(Config(), model=replace(Config().model, subsample_size=4096))
+    mcfg = cfg.model
+
+    # config 2: projection op
+    from stratanet2_tpu.ops import batched_raster_projection, plotwise_coverages
+
+    b, n = 128, mcfg.subsample_size
+    key = jax.random.PRNGKey(0)
+    cov = jax.random.uniform(key, (b, n, 4))
+    xy = jax.random.uniform(key, (b, n, 2), minval=-1.0, maxval=1.0)
+
+    @jax.jit
+    def proj(cov, xy):
+        r = batched_raster_projection(xy, cov, mcfg.diam_pix, mcfg.diam_meters)
+        c = plotwise_coverages(cov, xy, mcfg.diam_pix)
+        return jnp.nansum(r) + c.sum()
+
+    float(proj(cov, xy))
+    iters = 20
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        v = float(proj(cov, xy))
+    dt = time.perf_counter() - t0
+    results.append(
+        {
+            "metric": "raster_projection_points_per_sec",
+            "value": round(b * n * iters / dt, 1),
+            "unit": "points/sec",
+        }
+    )
+
+    # config 3: full training step (fwd + projection + 3-term loss + bwd + adam)
+    from stratanet2_tpu.learning.kde import fit_kde_mixture
+    from stratanet2_tpu.learning.train import (
+        init_train_state,
+        make_optimizer,
+        make_train_step,
+    )
+
+    kde = fit_kde_mixture(np.random.default_rng(0).uniform(0, 20, 10000))
+    opt = make_optimizer(cfg, steps_per_epoch=10)
+    ts = init_train_state(cfg, opt, seed=0)
+    step = make_train_step(cfg, opt, kde)
+    bt = cfg.train.batch_size
+    rng = np.random.default_rng(0)
+    cloud = jnp.asarray(rng.uniform(0, 1, (bt, n, 10)), jnp.float32)
+    xyz = jnp.asarray(rng.uniform(-10, 10, (bt, n, 3)), jnp.float32)
+    gt = jnp.asarray(rng.uniform(0, 1, (bt, 4)), jnp.float32)
+    ts, comps = step(ts, cloud, xyz, gt, jax.random.PRNGKey(0))
+    float(comps["total_loss"])
+    iters = 10
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        ts, comps = step(ts, cloud, xyz, gt, jax.random.PRNGKey(0))
+    float(comps["total_loss"])
+    dt = time.perf_counter() - t0
+    results.append(
+        {
+            "metric": "train_step_points_per_sec",
+            "value": round(bt * n * iters / dt, 1),
+            "unit": "points/sec",
+        }
+    )
+    for r in results:
+        print(json.dumps(r))
 
 
 def main():
@@ -84,3 +164,5 @@ def main():
 
 if __name__ == "__main__":
     main()
+    if "--all" in sys.argv:
+        bench_all()

@@ -169,6 +169,8 @@ def train_one_epoch(
     """One epoch over shuffled, drop_last batches (learning/train.py:29-79)."""
     sums: Dict[str, float] = {}
     n = 0
+    n_points = 0
+    t0 = time.time()
     for batch in loader:
         rng_key, sub = jax.random.split(rng_key)
         ts, comps = train_step(
@@ -182,8 +184,10 @@ def train_one_epoch(
         for k, v in comps.items():
             sums[k] = sums.get(k, 0.0) + float(v)
         n += 1
+        n_points += batch["cloud"].shape[0] * batch["cloud"].shape[1]
     means = {k: v / max(n, 1) for k, v in sums.items()}
     means["step"] = int(jax.device_get(ts.step))
+    means["points_per_sec"] = round(n_points / max(time.time() - t0, 1e-9), 1)
     return ts, means
 
 
