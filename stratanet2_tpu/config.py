@@ -67,6 +67,9 @@ class ModelConfig:
     # dense gathers; parity validated in tests/benchmarks.
     k1: int = 32
     k2: int = 64
+    # "grouped": nearest-per-random-group selection, one VPU pass, full-ball
+    # coverage; "nearest": approx k-nearest-within-radius (see ops.ballquery)
+    ball_query_method: str = "grouped"
     knn_chunk: int = 1024  # target-chunk size for kNN/ball-query dist tiles
     use_pallas: bool = True  # Pallas fast path for FPS (falls back on CPU)
     compute_dtype: str = "float32"  # matmul compute dtype ("bfloat16" opt-in)

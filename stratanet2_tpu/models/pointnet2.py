@@ -108,12 +108,15 @@ def _sa_module(
     compute_dtype,
     use_pallas: bool,
     chunk: int,
+    bq_method: str = "grouped",
 ) -> Tuple[jax.Array, jax.Array, Params]:
     """Set-abstraction: FPS -> ball query -> PointConv-style shared MLP ->
     masked max (reference SAModule, model/point_net2.py:14-29)."""
     idx = farthest_point_sampling(pos, n_centroids, use_pallas=use_pallas)
     centroids = _gather(pos, idx)  # (B, C, 3)
-    nbr_idx, nbr_mask = ball_query(centroids, pos, radius, k, chunk=chunk)
+    nbr_idx, nbr_mask = ball_query(
+        centroids, pos, radius, k, chunk=chunk, method=bq_method
+    )
     x_j = _gather(x, nbr_idx)  # (B, C, K, F)
     rel = _gather(pos, nbr_idx) - centroids[:, :, None, :]  # (B, C, K, 3)
     h = jnp.concatenate([x_j, rel.astype(x_j.dtype)], axis=-1)
@@ -159,11 +162,11 @@ def pointnet2_forward(
 
     x1, pos1, new_s["sa1"] = _sa_module(
         p["sa1"], s["sa1"], x0, pos0, cfg.n_centroids1, cfg.r1, cfg.k1,
-        train, dt, cfg.use_pallas, cfg.knn_chunk,
+        train, dt, cfg.use_pallas, cfg.knn_chunk, cfg.ball_query_method,
     )
     x2, pos2, new_s["sa2"] = _sa_module(
         p["sa2"], s["sa2"], x1, pos1, cfg.n_centroids2, cfg.r2, cfg.k2,
-        train, dt, cfg.use_pallas, cfg.knn_chunk,
+        train, dt, cfg.use_pallas, cfg.knn_chunk, cfg.ball_query_method,
     )
 
     # Global SA (model/point_net2.py:32-42): MLP on [x, pos], per-cloud max.

@@ -25,15 +25,16 @@ from stratanet2_tpu.ops._chunk import chunked_map
 _BIG = 1e30
 
 
-@functools.partial(jax.jit, static_argnames=("k", "chunk"))
+@functools.partial(jax.jit, static_argnames=("k", "chunk", "method"))
 def ball_query(
     centroids: jax.Array,
     points: jax.Array,
     radius: float,
     k: int,
     chunk: int = 1024,
+    method: str = "nearest",
 ):
-    """Find up to `k` nearest neighbors within `radius` of each centroid.
+    """Find up to `k` in-radius neighbors of each centroid.
 
     Args:
       centroids: (..., C, 3) query positions.
@@ -41,17 +42,63 @@ def ball_query(
       radius: ball radius (same units as positions).
       k: static neighbor cap.
       chunk: centroid-chunk size bounding the (chunk, N) distance tile.
+      method:
+        "nearest" — the k nearest in-radius points (approx_min_k on TPU).
+        "grouped" — partition the N points into k contiguous groups and take
+          the nearest in-radius point of each group. Since the data layer
+          shuffles point order (random subsampling), groups are random
+          subsets: the selected set spans the whole ball instead of its
+          densest core, closer to the reference's arbitrary <=2000-neighbor
+          subset (model/point_net2.py:24), and it needs a single VPU argmin
+          pass instead of a top-k — the TPU-native choice.
 
     Returns:
       idx: (..., C, k) int32 indices into N (0 where masked).
       mask: (..., C, k) bool validity.
     """
+    single = functools.partial(
+        _ball_query_grouped if method == "grouped" else _ball_query_single,
+        radius=radius, k=k, chunk=chunk,
+    )
     if centroids.ndim == 2:
-        return _ball_query_single(centroids, points, radius, k, chunk)
-    fn = functools.partial(_ball_query_single, radius=radius, k=k, chunk=chunk)
+        return single(centroids, points)
+    fn = single
     for _ in range(centroids.ndim - 2):
         fn = jax.vmap(fn)
     return fn(centroids, points)
+
+
+def _ball_query_grouped(centroids, points, radius, k, chunk):
+    points = points.astype(jnp.float32)
+    n = points.shape[0]
+    g = -(-n // k)  # group size; the last group is padded with +inf scores
+    r2 = jnp.float32(radius) ** 2
+    pts_sq = jnp.sum(points * points, axis=-1)
+
+    def one_chunk(c):
+        c = c.astype(jnp.float32)
+        cp = jax.lax.dot_general(
+            c, points.T,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
+        d2 = jnp.sum(c * c, axis=-1, keepdims=True) - 2.0 * cp + pts_sq[None, :]
+        d2 = jnp.maximum(d2, 0.0)
+        score = jnp.where(d2 <= r2, d2, _BIG)  # (Cc, N)
+        if k * g != n:
+            score = jnp.concatenate(
+                [score, jnp.full((score.shape[0], k * g - n), _BIG)], axis=1
+            )
+        sg = score.reshape(score.shape[0], k, g)
+        within = jnp.argmin(sg, axis=-1).astype(jnp.int32)  # (Cc, k)
+        smin = jnp.min(sg, axis=-1)
+        base = (jnp.arange(k, dtype=jnp.int32) * g)[None, :]
+        idx = base + within
+        mask = smin < _BIG * 0.5
+        return jnp.where(mask, idx, 0), mask
+
+    return chunked_map(one_chunk, centroids, chunk)
 
 
 def _ball_query_single(centroids, points, radius, k, chunk):

@@ -90,6 +90,37 @@ class TestBallQuery:
         assert not np.any(np.asarray(mask))
         assert np.all(np.asarray(idx) == 0)
 
+    def test_grouped_matches_oracle(self, rng):
+        pts = rng.normal(size=(130, 3)).astype(np.float32)  # non-divisible N
+        cen = rng.normal(size=(20, 3)).astype(np.float32)
+        r, k = 1.2, 8
+        idx, mask = ball_query(jnp.asarray(cen), jnp.asarray(pts), r, k, method="grouped")
+        idx, mask = np.asarray(idx), np.asarray(mask)
+        g = -(-130 // k)
+        for c in range(20):
+            d2 = np.sum((pts - cen[c]) ** 2, axis=1)
+            for j in range(k):
+                grp = np.arange(j * g, min((j + 1) * g, 130))
+                inside = grp[d2[grp] <= r * r]
+                if len(inside) == 0:
+                    assert not mask[c, j]
+                else:
+                    assert mask[c, j]
+                    want = inside[np.argmin(d2[inside])]
+                    # ties aside, distances must match the group min
+                    assert d2[idx[c, j]] == pytest.approx(d2[want], rel=1e-5, abs=1e-6)
+
+    def test_grouped_keeps_sparse_neighbors(self, rng):
+        # with fewer in-radius points than k in distinct groups, all are found
+        pts = np.full((64, 3), 100.0, np.float32)
+        close_ids = [3, 20, 40, 60]  # distinct groups for k=8 (g=8)
+        for i in close_ids:
+            pts[i] = [0.1 * i, 0, 0]
+        cen = jnp.zeros((1, 3))
+        idx, mask = ball_query(cen, jnp.asarray(pts), 10.0, 8, method="grouped")
+        got = set(np.asarray(idx)[0][np.asarray(mask)[0]].tolist())
+        assert got == set(close_ids)
+
     def test_chunking_invariance(self, rng):
         pts = rng.normal(size=(300, 3)).astype(np.float32)
         cen = rng.normal(size=(70, 3)).astype(np.float32)
