@@ -29,7 +29,13 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 try:
-    from jax import shard_map  # jax >= 0.5
+    from jax import shard_map as _shard_map_impl  # jax >= 0.5
+
+    def shard_map(f, mesh, in_specs, out_specs, check_rep=False):
+        return _shard_map_impl(
+            f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+            check_vma=check_rep,
+        )
 except ImportError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map
 
