@@ -62,6 +62,8 @@ def evaluate(
     sums = {k: 0.0 for k in LOSS_KEYS}
     n = 0
     summaries: List[Dict] = []
+    embeddings: List[np.ndarray] = []
+    embedding_names: List[str] = []
 
     for batch in loader:
         pred_pl, cov, proba, comps, aux = eval_step(
@@ -70,6 +72,21 @@ def evaluate(
             jnp.asarray(batch["xyz"]),
             jnp.asarray(batch["coverages"]),
         )
+        if cfg.log_embeddings and last_epoch:
+            from stratanet2_tpu.models import pointnet2_forward
+
+            *_rest, g = pointnet2_forward(
+                model,
+                jnp.asarray(batch["cloud"])[..., 2:],
+                jnp.asarray(batch["xyz"]),
+                cfg.model,
+                train=False,
+                return_embeddings=True,
+            )
+            g = np.asarray(jax.device_get(g))
+            for i in np.where(batch["valid"])[0]:
+                embeddings.append(g[i])
+                embedding_names.append(batch["plot_id"][i])
         pred_pl = np.asarray(jax.device_get(pred_pl))
         comps = jax.device_get(comps)
         valid = batch["valid"]
@@ -92,6 +109,17 @@ def evaluate(
                 )
 
     means = {k: sums[k] / max(n, 1) for k in LOSS_KEYS}
+
+    if embeddings:
+        # global SA3 feature per plot (reference `last_G_tensor`, logged to
+        # the Comet embedding projector at learning/test.py:152-163)
+        emb_path = os.path.join(stats_path, f"embeddings_fold_{fold_id}.npz")
+        np.savez(
+            emb_path,
+            embeddings=np.stack(embeddings),
+            plot_ids=np.array(embedding_names),
+        )
+        sink.log_metrics({"embeddings": emb_path})
 
     freq = cfg.log_confusion_matrix_frequency
     if last_epoch or (freq > 0 and epoch % freq == 0):

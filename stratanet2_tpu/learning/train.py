@@ -235,8 +235,14 @@ def train_full(
     fold_id: int,
     pretrained_path: Optional[str] = None,
     seed: int = 0,
+    resume: bool = False,
 ):
     """Full training loop for one fold (reference learning/train.py:82-177).
+
+    Extends the reference with crash recovery: a `resume` checkpoint
+    (params + BN state + optimizer state + epoch cursor) is written every
+    eval epoch; `resume=True` continues a killed run from it (the reference
+    loses the fold on a crash, SURVEY.md §5).
 
     Returns (train_state, train_loss_dicts, test_loss_dicts, cloud_info_list).
     """
@@ -252,12 +258,26 @@ def train_full(
 
     stopper = EarlyStopper(cfg)
     ckpt_path = os.path.join(stats_path, ckpt.checkpoint_name(fold_id))
+    resume_path = ckpt_path + ".resume"
     rng_key = jax.random.PRNGKey(seed + 1)
+
+    start_epoch = 1
+    if resume and os.path.exists(resume_path):
+        payload = ckpt.load_checkpoint(resume_path)
+        ts = TrainState(
+            jax.tree_util.tree_map(jnp.asarray, payload["params"]),
+            jax.tree_util.tree_map(jnp.asarray, payload["model_state"]),
+            jax.tree_util.tree_map(jnp.asarray, payload["opt_state"]),
+            jnp.asarray(payload["metadata"].get("step", 0), jnp.int32),
+        )
+        start_epoch = payload["metadata"].get("epoch", 0) + 1
+        train_loader.epoch = start_epoch - 1  # keep shuffle schedule aligned
+        logger.info("Resuming fold %d from epoch %d", fold_id, start_epoch)
 
     all_train_losses: List[Dict] = []
     all_test_losses: List[Dict] = []
-    current_epoch = 0
-    for current_epoch in range(1, cfg.train.n_epoch + 1):
+    current_epoch = start_epoch - 1
+    for current_epoch in range(start_epoch, cfg.train.n_epoch + 1):
         sink.set_epoch(current_epoch)
         t0 = time.time()
         with sink.context(f"fold_{fold_id}_train"):
@@ -272,6 +292,14 @@ def train_full(
         if (current_epoch % cfg.train.n_epoch_test == 0) or (
             current_epoch > cfg.train.epoch_to_start_early_stop
         ):
+            ckpt.save_checkpoint(
+                resume_path, ts.params, ts.model_state, ts.opt_state,
+                metadata={
+                    "epoch": current_epoch,
+                    "step": int(jax.device_get(ts.step)),
+                    "fold_id": fold_id,
+                },
+            )
             with sink.context(f"fold_{fold_id}_val"):
                 test_losses, _ = evaluate(
                     PointNet2Params(ts.params, ts.model_state),

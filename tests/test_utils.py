@@ -1,0 +1,131 @@
+"""Utility-layer tests: worklists, checkpoints, metric sink, config, resume."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+
+class TestWorklist:
+    def test_diff_and_sharding(self, tmp_path):
+        from stratanet2_tpu.utils.worklist import get_unprocessed_files
+
+        inp, out = tmp_path / "in", tmp_path / "out"
+        inp.mkdir(), out.mkdir()
+        for i in range(10):
+            (inp / f"parcel_{i}.las").touch()
+        (out / "parcel_3.tif").touch()
+        (out / "parcel_7.pkl").touch()
+        todo = get_unprocessed_files(str(inp), str(out))
+        stems = {os.path.basename(p).split(".")[0] for p in todo}
+        assert stems == {f"parcel_{i}" for i in range(10)} - {"parcel_3", "parcel_7"}
+        # host sharding partitions the worklist
+        shards = [
+            set(get_unprocessed_files(str(inp), str(out), host_id=h, n_hosts=3))
+            for h in range(3)
+        ]
+        assert set().union(*shards) == set(todo)
+        assert sum(len(s) for s in shards) == len(todo)
+
+    def test_missing_output_folder(self, tmp_path):
+        from stratanet2_tpu.utils.worklist import get_unprocessed_files
+
+        inp = tmp_path / "in"
+        inp.mkdir()
+        (inp / "a.las").touch()
+        assert len(get_unprocessed_files(str(inp), str(tmp_path / "nope"))) == 1
+
+
+class TestCheckpoint:
+    def test_roundtrip_and_discovery(self, tmp_path):
+        import jax.numpy as jnp
+
+        from stratanet2_tpu.utils import checkpoint as C
+
+        params = {"w": jnp.ones((3, 3)), "nested": {"b": jnp.zeros(2)}}
+        state = {"mean": jnp.full((4,), 0.5)}
+        run = tmp_path / "experiments" / "learning" / "PROD" / "2026-01-01_00h00m00s"
+        run.mkdir(parents=True)
+        p = str(run / C.checkpoint_name(2))
+        assert p.endswith("PCC_model_fold_n=2.pt")
+        C.save_checkpoint(p, params, state, metadata={"epoch": 7})
+        payload = C.load_checkpoint(p)
+        np.testing.assert_array_equal(payload["params"]["w"], np.ones((3, 3)))
+        assert payload["metadata"]["epoch"] == 7
+        found = C.find_checkpoint_by_experiment(
+            str(tmp_path / "experiments"), "2026-01-01_00h00m00s"
+        )
+        assert found == p
+        # 'full' checkpoints take precedence (utils/utils.py:145-153)
+        pf = str(run / C.checkpoint_name(-1))
+        assert pf.endswith("PCC_model_full.pt")
+        C.save_checkpoint(pf, params, state)
+        assert C.find_checkpoint_by_experiment(
+            str(tmp_path / "experiments"), "2026-01-01_00h00m00s"
+        ) == pf
+
+
+class TestMetricSink:
+    def test_jsonl_contexts(self, tmp_path):
+        from stratanet2_tpu.utils.experiment import MetricSink
+
+        sink = MetricSink(str(tmp_path))
+        with sink.context("fold_1_train"):
+            sink.log_metrics({"total_loss": 0.5}, epoch=3, step=10)
+        sink.log_metric("Fold_ID", 1)
+        sink.close()
+        lines = [json.loads(l) for l in open(tmp_path / "metrics.jsonl")]
+        assert lines[0]["context"] == "fold_1_train"
+        assert lines[0]["metrics"]["total_loss"] == 0.5
+        assert lines[1]["context"] == ""
+
+
+class TestConfig:
+    def test_dev_profile(self):
+        from stratanet2_tpu.config import parse_config
+
+        cfg, ns = parse_config(["--mode", "DEV"])
+        assert cfg.train.n_epoch == 2 and cfg.train.n_epoch_test == 1
+
+    def test_overrides(self):
+        from stratanet2_tpu.config import parse_config
+
+        cfg, _ = parse_config(
+            ["--mode", "PROD", "--n_epoch", "42", "--subsample_size", "512", "--lr", "0.01"]
+        )
+        assert cfg.train.n_epoch == 42
+        assert cfg.model.subsample_size == 512
+        assert cfg.train.lr == 0.01
+        assert cfg.model.n_centroids1 == 128
+
+    def test_hashable_for_jit(self):
+        from stratanet2_tpu.config import ModelConfig
+
+        assert hash(ModelConfig()) == hash(ModelConfig())
+
+
+class TestResume:
+    def test_training_resumes_from_checkpoint(self, tmp_path):
+        from dataclasses import replace
+
+        from tests.synthetic import make_plot_dataset, tiny_config
+        from stratanet2_tpu.learning.kde import fit_kde_mixture_from_dataset
+        from stratanet2_tpu.learning.train import train_full
+        from stratanet2_tpu.utils.experiment import MetricSink
+
+        cfg = tiny_config()
+        cfg = replace(cfg, train=replace(cfg.train, n_epoch=2, n_epoch_test=1))
+        ds = make_plot_dataset(np.random.default_rng(0), n_plots=8, n_points=200)
+        kde = fit_kde_mixture_from_dataset(ds)
+        ids = np.array(sorted(ds.keys()))
+        sink = MetricSink(str(tmp_path))
+        # run 2 epochs; resume checkpoint is written each eval epoch
+        train_full(ds, ids[:6], ids[6:], cfg, kde, str(tmp_path), sink, fold_id=1)
+        assert os.path.exists(tmp_path / "PCC_model_fold_n=1.pt.resume")
+        # extend schedule and resume: only epochs 3..4 run
+        cfg4 = replace(cfg, train=replace(cfg.train, n_epoch=4))
+        _, train_losses, _, _ = train_full(
+            ds, ids[:6], ids[6:], cfg4, kde, str(tmp_path), sink, fold_id=1, resume=True
+        )
+        assert [d["epoch"] for d in train_losses] == [3, 4]
