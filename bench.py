@@ -48,17 +48,21 @@ def bench_all():
     cov = jax.random.uniform(key, (b, n, 4))
     xy = jax.random.uniform(key, (b, n, 2), minval=-1.0, maxval=1.0)
 
+    iters = 50
+
     @jax.jit
     def proj(cov, xy):
-        r = batched_raster_projection(xy, cov, mcfg.diam_pix, mcfg.diam_meters)
-        c = plotwise_coverages(cov, xy, mcfg.diam_pix)
-        return jnp.nansum(r) + c.sum()
+        def body(_, carry):
+            acc, c_ = carry
+            r = batched_raster_projection(xy, c_, mcfg.diam_pix, mcfg.diam_meters)
+            pc = plotwise_coverages(c_, xy, mcfg.diam_pix)
+            s = jnp.nansum(r) + pc.sum()
+            return acc + s, c_ + s * 1e-20
+        return jax.lax.fori_loop(0, iters, body, (0.0, cov))[0]
 
     float(proj(cov, xy))
-    iters = 20
     t0 = time.perf_counter()
-    for _ in range(iters):
-        v = float(proj(cov, xy))
+    v = float(proj(cov, xy))
     dt = time.perf_counter() - t0
     results.append(
         {
@@ -98,6 +102,57 @@ def bench_all():
             "metric": "train_step_points_per_sec",
             "value": round(bt * n * iters / dt, 1),
             "unit": "points/sec",
+        }
+    )
+    # config 4: parcel pipeline wall-clock (tiling -> batched predict ->
+    # per-plot tiffs -> weighted mosaic) on a synthetic parcel
+    import tempfile
+
+    from stratanet2_tpu.inference.predict import predict_parcel
+    from stratanet2_tpu.inference.tiling import extract_plots_from_parcel
+    from stratanet2_tpu.models import init_pointnet2
+
+    rng = np.random.default_rng(0)
+    n_pts = 400_000
+    side = 120.0
+    parcel = np.zeros((10, n_pts), np.float32)
+    parcel[0] = rng.uniform(0, side, n_pts)
+    parcel[1] = rng.uniform(0, side, n_pts)
+    parcel[2] = rng.uniform(0, 20, n_pts)
+    parcel[3:8] = rng.uniform(0, 30000, (5, n_pts))
+    parcel[8:] = 1.0
+    from stratanet2_tpu.inference.polygons import Polygon
+
+    shape = Polygon([np.array([[0, 0], [side, 0], [side, side], [0, side], [0, 0]])])
+    from stratanet2_tpu.inference.tiling import get_plot_centers
+
+    centers = get_plot_centers((0, side), (0, side), shape, mcfg.diam_pix, mcfg.diam_meters)
+    model = init_pointnet2(jax.random.PRNGKey(0), mcfg)
+    t0 = time.perf_counter()
+    plots = extract_plots_from_parcel(cfg, parcel, centers)
+    t_prep = time.perf_counter() - t0
+    from stratanet2_tpu.inference.predict import make_predict_step
+
+    predict_step = make_predict_step(cfg)
+    # warm up the compiled executable so the wall-clock measures steady state
+    bwarm = cfg.train.batch_size
+    predict_step(
+        model,
+        jnp.zeros((bwarm, mcfg.subsample_size, 10), jnp.float32),
+        jnp.zeros((bwarm, mcfg.subsample_size, 3), jnp.float32),
+    )
+    with tempfile.TemporaryDirectory() as td:
+        t0 = time.perf_counter()
+        predict_parcel(
+            model, plots, cfg, "BENCH", td, task="inference",
+            parcel_shape=shape, predict_step=predict_step,
+        )
+        t_pred = time.perf_counter() - t0
+    results.append(
+        {
+            "metric": "parcel_inference_plots_per_sec",
+            "value": round(len(plots) / t_pred, 2),
+            "unit": f"plots/sec ({len(plots)} plots, {n_pts} pts; prepare {t_prep:.2f}s, predict+mosaic {t_pred:.2f}s)",
         }
     )
     for r in results:
