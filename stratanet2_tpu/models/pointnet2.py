@@ -111,9 +111,29 @@ def _sa_module(
     bq_method: str = "grouped",
 ) -> Tuple[jax.Array, jax.Array, Params]:
     """Set-abstraction: FPS -> ball query -> PointConv-style shared MLP ->
-    masked max (reference SAModule, model/point_net2.py:14-29)."""
+    masked max (reference SAModule, model/point_net2.py:14-29).
+
+    Eval on TPU takes the fused Pallas path (grouped selection + gather +
+    folded-BN MLP + max in VMEM, ops/pallas_kernels.sa_fused_eval); training
+    and non-TPU backends use the XLA path below with identical selection
+    semantics."""
     idx = farthest_point_sampling(pos, n_centroids, use_pallas=use_pallas)
     centroids = _gather(pos, idx)  # (B, C, 3)
+
+    fused_ok = (
+        (not train)
+        and use_pallas
+        and bq_method == "grouped"
+        and len(p["layers"]) <= 2
+        and jax.default_backend() == "tpu"
+    )
+    if fused_ok:
+        return (
+            _sa_fused(p, s, x, pos, centroids, radius, k),
+            centroids,
+            s,
+        )
+
     nbr_idx, nbr_mask = ball_query(
         centroids, pos, radius, k, chunk=chunk, method=bq_method
     )
@@ -125,6 +145,43 @@ def _sa_module(
     h = jnp.where(nbr_mask[..., None], h, neg)
     out = jnp.max(h, axis=2)  # (B, C, F') — each centroid is its own neighbor
     return out, centroids, new_s
+
+
+def _fold_bn_eval(layer_p: Params, layer_s: Params):
+    """Fold eval-mode BatchNorm into a per-channel affine (a, c)."""
+    a = layer_p["bn"]["scale"] * jax.lax.rsqrt(layer_s["var"] + nn.BN_EPS)
+    c = layer_p["bn"]["bias"] - layer_s["mean"] * a
+    return a, c
+
+
+def _sa_fused(p, s, x, pos, centroids, radius, k):
+    """Eval-mode fused SA interior via ops.pallas_kernels.sa_fused_eval.
+
+    The layer-1 Linear distributes over the edge concat, so the per-point
+    projection q = x@W1x + pos@W1p + b1 and the centroid term pos_c@W1p are
+    computed here on the MXU; the kernel does selection + gather + the rest.
+    """
+    from stratanet2_tpu.ops.pallas_kernels import sa_fused_eval
+
+    l1, s1 = p["layers"][0], s["layers"][0]
+    w1, b1 = l1["linear"]["w"], l1["linear"]["b"]
+    f = x.shape[-1]
+    q = (
+        jnp.einsum("bnf,fc->bnc", x.astype(jnp.float32), w1[:f])
+        + jnp.einsum("bnd,dc->bnc", pos.astype(jnp.float32), w1[f:])
+        + b1
+    )
+    cterm = jnp.einsum("bcd,dk->bck", centroids.astype(jnp.float32), w1[f:])
+    a1, c1 = _fold_bn_eval(l1, s1)
+    if len(p["layers"]) == 2:
+        l2, s2 = p["layers"][1], s["layers"][1]
+        w2, b2 = l2["linear"]["w"], l2["linear"]["b"]
+        a2, c2 = _fold_bn_eval(l2, s2)
+    else:
+        w2 = b2 = a2 = c2 = None
+    return sa_fused_eval(
+        q, pos, centroids, cterm, a1, c1, w2, b2, a2, c2, radius, k
+    )
 
 
 @functools.partial(

@@ -244,3 +244,133 @@ def knn_interpolate_pallas(x_src, pos_src, pos_tgt, k: int = 3):
 
     Exact inverse-d^2 k-NN (torch_geometric semantics, same as ops.knn)."""
     return _knn_pallas_for_k(int(k))(x_src, pos_src, pos_tgt)
+
+
+# ---------------------------------------------------------------------------
+# fused set-abstraction interior (eval path)
+# ---------------------------------------------------------------------------
+#
+# Fuses grouped ball query + neighbor gather + the per-edge shared MLP +
+# masked max into one kernel (the SAModule interior, reference
+# model/point_net2.py:14-29). Two tricks make this cheap:
+#   1. the first Linear layer distributes over the edge concat
+#      [x_j, pos_j - pos_c] @ W1 = (x_j@W1x + pos_j@W1p) - pos_c@W1p, so a
+#      per-POINT projection q (N, C1) is computed once outside on the MXU
+#      and each edge costs one subtraction instead of a (K*C, F) gather;
+#   2. eval-mode BatchNorm folds into per-channel affines.
+# The (C, N) distance tile, the per-group argmin selection, the one-hot
+# MXU gathers of q, and both MLP layers all stay in VMEM — the XLA path
+# materializes each of these to HBM (~6 ms of the forward at K=32/64).
+# Training keeps the unfused path (batch statistics need the global edge
+# tensor); selection semantics are identical (grouped ball query).
+
+
+def _sa_kernel(k: int, n_valid: int, r2: float, two_layer: bool):
+    def kernel(cent_ref, cterm_ref, xyz_ref, q_ref, aff_ref, w2_ref, out_ref):
+        # cent (1,CC,3) cterm (1,CC,C1) xyz (1,K,G,3) q (1,K,G,C1)
+        # aff (6, Cmax): rows a1,c1,b2,a2,c2,unused; w2 (C1,C2)
+        cc = cent_ref.shape[1]
+        g = xyz_ref.shape[2]
+        c1 = q_ref.shape[3]
+        c2 = out_ref.shape[2]
+        cent = cent_ref[0]  # (CC, 3)
+        cterm = cterm_ref[0]
+        a1 = aff_ref[0, :c1][None, :]
+        c1v = aff_ref[1, :c1][None, :]
+        col = jax.lax.broadcasted_iota(jnp.int32, (cc, g), 1)
+
+        def body(gi, maxacc):
+            xyz_g = xyz_ref[0, gi]  # (G, 3)
+            q_g = q_ref[0, gi]  # (G, C1)
+            d2 = jnp.zeros((cc, g), jnp.float32)
+            for d in range(3):
+                diff = cent[:, d][:, None] - xyz_g[:, d][None, :]
+                d2 = d2 + diff * diff
+            base = gi * g
+            pad = (base + col) >= n_valid
+            d2 = jnp.where(pad, jnp.float32(3.4e38), d2)
+            dmin = jnp.min(d2, axis=1)  # (CC,)
+            idx = jnp.argmin(d2, axis=1)
+            valid = dmin <= r2
+            onehot = (col == idx[:, None]).astype(jnp.float32)
+            sel = jax.lax.dot_general(
+                onehot, q_g,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (CC, C1)
+            e = jax.nn.relu(sel - cterm) * a1 + c1v
+            if two_layer:
+                b2 = aff_ref[2, :c2][None, :]
+                a2 = aff_ref[3, :c2][None, :]
+                c2v = aff_ref[4, :c2][None, :]
+                e = jnp.dot(e, w2_ref[:, :], preferred_element_type=jnp.float32)
+                e = jax.nn.relu(e + b2) * a2 + c2v
+            e = jnp.where(valid[:, None], e, jnp.float32(-3.4e38))
+            return jnp.maximum(maxacc, e)
+
+        init = jnp.full((cc, c2), -3.4e38, jnp.float32)
+        out_ref[0] = jax.lax.fori_loop(0, k, body, init)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("k", "cc", "radius"))
+def sa_fused_eval(
+    q: jax.Array,  # (B, N, C1) per-point layer-1 projection incl. bias
+    xyz: jax.Array,  # (B, N, 3)
+    centroids: jax.Array,  # (B, C, 3)
+    cterm: jax.Array,  # (B, C, C1) centroid term of layer 1
+    a1: jax.Array, c1: jax.Array,  # folded eval BN of layer 1, (C1,)
+    w2, b2, a2, c2,  # layer 2 (or None for single-layer MLPs)
+    radius: float,
+    k: int,
+    cc: int = 256,
+) -> jax.Array:
+    b, n, ch1 = q.shape
+    c = centroids.shape[1]
+    two_layer = w2 is not None
+    ch2 = w2.shape[1] if two_layer else ch1
+
+    g = -(-n // k)
+    npad = k * g
+    if npad != n:
+        q = jnp.pad(q, ((0, 0), (0, npad - n), (0, 0)))
+        xyz = jnp.pad(xyz, ((0, 0), (0, npad - n), (0, 0)))
+    qg = q.reshape(b, k, g, ch1).astype(jnp.float32)
+    xg = xyz.reshape(b, k, g, 3).astype(jnp.float32)
+
+    cc = min(cc, c)
+    cpad = _round_up(c, cc)
+    if cpad != c:
+        centroids = jnp.pad(centroids, ((0, 0), (0, cpad - c), (0, 0)))
+        cterm = jnp.pad(cterm, ((0, 0), (0, cpad - c), (0, 0)))
+
+    cmax = max(ch1, ch2)
+    aff = jnp.zeros((6, cmax), jnp.float32)
+    aff = aff.at[0, :ch1].set(a1).at[1, :ch1].set(c1)
+    if two_layer:
+        aff = aff.at[2, :ch2].set(b2).at[3, :ch2].set(a2).at[4, :ch2].set(c2)
+        w2a = w2.astype(jnp.float32)
+    else:
+        w2a = jnp.zeros((ch1, ch1), jnp.float32)
+
+    out = pl.pallas_call(
+        _sa_kernel(k, n, float(radius) ** 2, two_layer),
+        grid=(b, cpad // cc),
+        in_specs=[
+            pl.BlockSpec((1, cc, 3), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cc, ch1), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k, g, 3), lambda i, j: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k, g, ch1), lambda i, j: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, cc, ch2), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, cpad, ch2), jnp.float32),
+        interpret=jax.default_backend() != "tpu",
+    )(
+        centroids.astype(jnp.float32), cterm.astype(jnp.float32), xg, qg, aff, w2a
+    )
+    return out[:, :c]

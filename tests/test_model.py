@@ -100,6 +100,52 @@ class TestPointNet2:
         np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-3, atol=1e-4)
 
 
+class TestFusedSA:
+    @pytest.mark.parametrize("module,f_in", [("sa1", 8), ("sa2", 16)])
+    def test_fused_matches_xla_path(self, module, f_in):
+        """sa_fused_eval (interpret mode) == the unfused masked-MLP path for
+        both the 2-layer (SA1) and 1-layer (SA2) MLPs."""
+        import jax
+        from stratanet2_tpu.models import nn as NN
+        from stratanet2_tpu.models.pointnet2 import _sa_fused, _gather
+        from stratanet2_tpu.models import init_pointnet2
+        from stratanet2_tpu.ops import ball_query, farthest_point_sampling
+
+        cfg = tiny_cfg()
+        model = init_pointnet2(jax.random.PRNGKey(0), cfg)
+        p = model.params[module]
+        key = jax.random.PRNGKey(5)
+        n_layers = len(p["layers"])
+        chs = [l["linear"]["w"].shape[1] for l in p["layers"]]
+        s = {
+            "layers": [
+                {
+                    "mean": jax.random.normal(key, (ch,)) * 0.1,
+                    "var": jax.random.uniform(key, (ch,), minval=0.5, maxval=2.0),
+                }
+                for ch in chs
+            ]
+        }
+        b, n, c, k, r = 2, 128, 32, 8, np.sqrt(8.0)
+        x = jax.random.uniform(jax.random.PRNGKey(1), (b, n, f_in))
+        xyz = jax.random.uniform(jax.random.PRNGKey(2), (b, n, 3), minval=-5, maxval=5)
+        idx = farthest_point_sampling(xyz, c, use_pallas=False)
+        cent = _gather(xyz, idx)
+
+        nbr_idx, nbr_mask = ball_query(cent, xyz, r, k, method="grouped")
+        x_j = _gather(x, nbr_idx)
+        rel = _gather(xyz, nbr_idx) - cent[:, :, None, :]
+        h = jnp.concatenate([x_j, rel], -1)
+        h, _ = NN.mlp(p, s, h, mask=nbr_mask, train=False)
+        h = jnp.where(nbr_mask[..., None], h, -1e30)
+        want = jnp.max(h, axis=2)
+
+        got = _sa_fused(p, s, x, xyz, cent, r, k)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-5
+        )
+
+
 class TestMaskedBatchNorm:
     def test_masked_stats_ignore_invalid(self, rng):
         x_valid = rng.normal(size=(100, 8)).astype(np.float32)
