@@ -8,8 +8,6 @@ buffered ahead of the device (SURVEY.md §2.4 'multi-worker input pipeline').
 
 from __future__ import annotations
 
-import queue
-import threading
 from concurrent.futures import ThreadPoolExecutor
 from typing import Dict, Iterator, List, Optional, Sequence
 
@@ -108,36 +106,18 @@ class PlotLoader:
                 yield b
             return
 
+        # bounded-window submission: ThreadPoolExecutor.map would submit the
+        # whole epoch eagerly and buffer every batch in memory; keep only
+        # `workers + prefetch` batches in flight.
+        window = self.workers + max(self.cfg.data.prefetch_batches, 1)
         with ThreadPoolExecutor(max_workers=self.workers) as pool:
-            yield from _prefetched(
-                pool.map(make_batch, batches()),
-                depth=self.cfg.data.prefetch_batches,
-            )
+            it = batches()
+            pending = []
+            for args in it:
+                pending.append(pool.submit(make_batch, args))
+                if len(pending) >= window:
+                    yield pending.pop(0).result()
+            for fut in pending:
+                yield fut.result()
 
 
-def _prefetched(it: Iterator, depth: int) -> Iterator:
-    """Bounded background prefetch so host batch assembly overlaps device
-    compute (double buffering)."""
-    q: "queue.Queue" = queue.Queue(maxsize=max(depth, 1))
-    sentinel = object()
-    err: List[BaseException] = []
-
-    def worker():
-        try:
-            for x in it:
-                q.put(x)
-        except BaseException as e:  # propagate into consumer
-            err.append(e)
-        finally:
-            q.put(sentinel)
-
-    t = threading.Thread(target=worker, daemon=True)
-    t.start()
-    while True:
-        x = q.get()
-        if x is sentinel:
-            break
-        yield x
-    t.join()
-    if err:
-        raise err[0]

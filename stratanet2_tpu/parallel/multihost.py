@@ -1,0 +1,57 @@
+"""Multi-host orchestration.
+
+The reference scales across machines only via the shuffled idempotent file
+worklist (utils/utils.py:118-134, SURVEY.md §2.4 "poor-man's"). Here the
+same worklist composes with a real multi-host JAX runtime:
+
+- `initialize()` — `jax.distributed.initialize` wrapper (coordinator from
+  env or args); after it, `jax.devices()` spans all hosts and the standard
+  data-parallel mesh (parallel/mesh.py) stripes the global batch while each
+  host feeds its own shard (`host_batch_slice`).
+- worklist sharding — `utils.worklist.get_unprocessed_files(host_id,
+  n_hosts)` deterministically partitions parcels across hosts for the
+  embarrassingly-parallel prepare/predict stages (no collectives needed;
+  outputs are per-parcel files).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from typing import Optional, Tuple
+
+import jax
+
+logger = logging.getLogger("stratanet2_tpu")
+
+
+def initialize(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> Tuple[int, int]:
+    """Initialize the multi-host runtime. Arguments default to the standard
+    JAX env vars / TPU metadata discovery. Returns (process_id, n_processes).
+
+    Safe to call on a single host (no-op)."""
+    n_env = os.environ.get("JAX_NUM_PROCESSES") or num_processes
+    if coordinator_address or n_env:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    pid, n = jax.process_index(), jax.process_count()
+    logger.info("multihost: process %d/%d, %d local / %d global devices",
+                pid, n, jax.local_device_count(), jax.device_count())
+    return pid, n
+
+
+def host_batch_slice(global_batch: int) -> slice:
+    """The slice of the global batch this host must feed (contiguous
+    striping; combine with PlotLoader over the host's plot subset)."""
+    n = jax.process_count()
+    assert global_batch % n == 0, f"global batch {global_batch} % hosts {n} != 0"
+    per = global_batch // n
+    pid = jax.process_index()
+    return slice(pid * per, (pid + 1) * per)
