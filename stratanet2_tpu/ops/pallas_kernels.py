@@ -163,9 +163,15 @@ def _knn_kernel(k: int, s_valid: int):
     return kernel
 
 
-def _knn_pallas_raw(x_src, pos_src, pos_tgt, k: int, tc: int = 1024):
+def _knn_pallas_raw(x_src, pos_src, pos_tgt, k: int, tc: int = 0):
     b, s, f = x_src.shape
     t = pos_tgt.shape[1]
+    if tc <= 0:
+        # adapt the target tile to VMEM: the kernel holds the (tc, S)
+        # distance tile plus a same-size one-hot per argmin pass (~3 live
+        # (tc, S) f32 buffers) and the (S, F) feature table.
+        budget = 10 * 2**20
+        tc = max(128, min(1024, (budget // (s * 4 * 3)) // 128 * 128))
     tc = min(tc, t)
     tpad = _round_up(t, tc)
     if tpad != t:
@@ -267,11 +273,13 @@ def knn_interpolate_pallas(x_src, pos_src, pos_tgt, k: int = 3):
 
 def _sa_kernel(k: int, n_valid: int, r2: float, two_layer: bool):
     def kernel(cent_ref, cterm_ref, xyz_ref, q_ref, aff_ref, w2_ref, out_ref):
-        # cent (1,CC,3) cterm (1,CC,C1) xyz (1,K,G,3) q (1,K,G,C1)
+        # cent (1,CC,3) cterm (1,CC,C1) xyz (1,K,3,G) q (1,K,C1,G)
+        # (channel-on-sublane / points-on-lane layout: the G axis sits on
+        #  lanes, so the small channel axes don't get padded to 128)
         # aff (6, Cmax): rows a1,c1,b2,a2,c2,unused; w2 (C1,C2)
         cc = cent_ref.shape[1]
-        g = xyz_ref.shape[2]
-        c1 = q_ref.shape[3]
+        g = xyz_ref.shape[3]
+        c1 = q_ref.shape[2]
         c2 = out_ref.shape[2]
         cent = cent_ref[0]  # (CC, 3)
         cterm = cterm_ref[0]
@@ -280,11 +288,11 @@ def _sa_kernel(k: int, n_valid: int, r2: float, two_layer: bool):
         col = jax.lax.broadcasted_iota(jnp.int32, (cc, g), 1)
 
         def body(gi, maxacc):
-            xyz_g = xyz_ref[0, gi]  # (G, 3)
-            q_g = q_ref[0, gi]  # (G, C1)
+            xyz_g = xyz_ref[0, gi]  # (3, G)
+            q_g = q_ref[0, gi]  # (C1, G)
             d2 = jnp.zeros((cc, g), jnp.float32)
             for d in range(3):
-                diff = cent[:, d][:, None] - xyz_g[:, d][None, :]
+                diff = cent[:, d][:, None] - xyz_g[d, :][None, :]
                 d2 = d2 + diff * diff
             base = gi * g
             pad = (base + col) >= n_valid
@@ -295,9 +303,9 @@ def _sa_kernel(k: int, n_valid: int, r2: float, two_layer: bool):
             onehot = (col == idx[:, None]).astype(jnp.float32)
             sel = jax.lax.dot_general(
                 onehot, q_g,
-                dimension_numbers=(((1,), (0,)), ((), ())),
+                dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            )  # (CC, C1)
+            )  # (CC, C1): contract over G
             e = jax.nn.relu(sel - cterm) * a1 + c1v
             if two_layer:
                 b2 = aff_ref[2, :c2][None, :]
@@ -336,8 +344,9 @@ def sa_fused_eval(
     if npad != n:
         q = jnp.pad(q, ((0, 0), (0, npad - n), (0, 0)))
         xyz = jnp.pad(xyz, ((0, 0), (0, npad - n), (0, 0)))
-    qg = q.reshape(b, k, g, ch1).astype(jnp.float32)
-    xg = xyz.reshape(b, k, g, 3).astype(jnp.float32)
+    # channel-on-sublane layout (see _sa_kernel)
+    qg = jnp.swapaxes(q.reshape(b, k, g, ch1), 2, 3).astype(jnp.float32)
+    xg = jnp.swapaxes(xyz.reshape(b, k, g, 3), 2, 3).astype(jnp.float32)
 
     cc = min(cc, c)
     cpad = _round_up(c, cc)
@@ -360,8 +369,8 @@ def sa_fused_eval(
         in_specs=[
             pl.BlockSpec((1, cc, 3), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, cc, ch1), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, k, g, 3), lambda i, j: (i, 0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, k, g, ch1), lambda i, j: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k, 3, g), lambda i, j: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k, ch1, g), lambda i, j: (i, 0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
