@@ -134,9 +134,16 @@ def _sa_module(
             s,
         )
 
-    nbr_idx, nbr_mask = ball_query(
-        centroids, pos, radius, k, chunk=chunk, method=bq_method
-    )
+    if use_pallas and bq_method == "grouped" and jax.default_backend() == "tpu":
+        # VMEM-resident selection for the training path (no (B,C,N) HBM
+        # distance matrix); selection has no gradient.
+        from stratanet2_tpu.ops.pallas_kernels import ball_query_grouped_pallas
+
+        nbr_idx, nbr_mask = ball_query_grouped_pallas(centroids, pos, radius, k)
+    else:
+        nbr_idx, nbr_mask = ball_query(
+            centroids, pos, radius, k, chunk=chunk, method=bq_method
+        )
     x_j = _gather(x, nbr_idx)  # (B, C, K, F)
     rel = _gather(pos, nbr_idx) - centroids[:, :, None, :]  # (B, C, K, 3)
     h = jnp.concatenate([x_j, rel.astype(x_j.dtype)], axis=-1)

@@ -253,6 +253,98 @@ def knn_interpolate_pallas(x_src, pos_src, pos_tgt, k: int = 3):
 
 
 # ---------------------------------------------------------------------------
+# grouped ball query (indices only)
+# ---------------------------------------------------------------------------
+#
+# Selection part of the fused SA kernel, exposed standalone for the TRAINING
+# path: the XLA formulation materializes the (B, C, N) distance matrix in
+# HBM (~2 GB at the reference's PROD geometry); here each (CC, G) distance
+# tile lives only in VMEM. Outputs are indices + mask (no gradient flows
+# through selection), so no custom VJP is needed.
+
+
+def _bq_kernel(k: int, n_valid: int, r2: float):
+    def kernel(cent_ref, xyz_ref, idx_ref, mask_ref):
+        # cent (1,CC,3); xyz (1,K,3,G); idx/mask (1,CC,K)
+        cc = cent_ref.shape[1]
+        g = xyz_ref.shape[3]
+        cent = cent_ref[0]
+        col = jax.lax.broadcasted_iota(jnp.int32, (cc, g), 1)
+        colk = jax.lax.broadcasted_iota(jnp.int32, (cc, k), 1)
+
+        def body(gi, carry):
+            idx_acc, mask_acc = carry
+            xyz_g = xyz_ref[0, gi]  # (3, G)
+            d2 = jnp.zeros((cc, g), jnp.float32)
+            for d in range(3):
+                diff = cent[:, d][:, None] - xyz_g[d, :][None, :]
+                d2 = d2 + diff * diff
+            pad = (gi * g + col) >= n_valid
+            d2 = jnp.where(pad, jnp.float32(3.4e38), d2)
+            dmin = jnp.min(d2, axis=1)
+            within = jnp.argmin(d2, axis=1).astype(jnp.int32)
+            valid = dmin <= r2
+            gidx = jnp.where(valid, within + gi * g, 0)
+            here = colk == gi
+            idx_acc = jnp.where(here, gidx[:, None], idx_acc)
+            mask_acc = jnp.where(here, valid[:, None].astype(jnp.int32), mask_acc)
+            return idx_acc, mask_acc
+
+        idx0 = jnp.zeros((cc, k), jnp.int32)
+        m0 = jnp.zeros((cc, k), jnp.int32)
+        idx_out, mask_out = jax.lax.fori_loop(0, k, body, (idx0, m0))
+        idx_ref[0] = idx_out
+        mask_ref[0] = mask_out
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("radius", "k", "cc"))
+def ball_query_grouped_pallas(
+    centroids: jax.Array,  # (B, C, 3)
+    points: jax.Array,  # (B, N, 3)
+    radius: float,
+    k: int,
+    cc: int = 512,
+):
+    """Grouped ball query (ops.ball_query method='grouped' semantics) with
+    VMEM-resident distance tiles. Returns ((B, C, k) int32, (B, C, k) bool)."""
+    b, n, _ = points.shape
+    c = centroids.shape[1]
+    g = -(-n // k)
+    npad = k * g
+    xyz = points
+    if npad != n:
+        xyz = jnp.pad(xyz, ((0, 0), (0, npad - n), (0, 0)))
+    xg = jnp.swapaxes(xyz.reshape(b, k, g, 3), 2, 3).astype(jnp.float32)
+
+    cc = min(cc, c)
+    cpad = _round_up(c, cc)
+    cent = centroids
+    if cpad != c:
+        cent = jnp.pad(cent, ((0, 0), (0, cpad - c), (0, 0)))
+
+    idx, mask = pl.pallas_call(
+        _bq_kernel(k, n, float(radius) ** 2),
+        grid=(b, cpad // cc),
+        in_specs=[
+            pl.BlockSpec((1, cc, 3), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k, 3, g), lambda i, j: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, cc, k), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cc, k), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, cpad, k), jnp.int32),
+            jax.ShapeDtypeStruct((b, cpad, k), jnp.int32),
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )(cent.astype(jnp.float32), xg)
+    return idx[:, :c], mask[:, :c].astype(bool)
+
+
+# ---------------------------------------------------------------------------
 # fused set-abstraction interior (eval path)
 # ---------------------------------------------------------------------------
 #
