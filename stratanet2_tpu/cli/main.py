@@ -9,10 +9,7 @@ import os
 import sys
 
 from stratanet2_tpu.config import parse_config
-from stratanet2_tpu.data.dataset import (
-    load_pickled_dataset,
-    prepare_and_save_plots_dataset,
-)
+from stratanet2_tpu.data.dataset import prepare_and_save_plots_dataset
 from stratanet2_tpu.learning.crossval import cross_validate
 from stratanet2_tpu.learning.kde import (
     fit_kde_mixture_from_dataset,

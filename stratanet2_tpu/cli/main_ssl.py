@@ -11,8 +11,6 @@ from __future__ import annotations
 import sys
 from dataclasses import replace
 
-import numpy as np
-
 from stratanet2_tpu.config import parse_config
 from stratanet2_tpu.data.dataset import (
     get_index_sorted_plot_ids,

@@ -11,12 +11,11 @@ with an exact, fully vectorized grid algorithm; a C++ native path
 
 from __future__ import annotations
 
-import math
-from typing import Dict, Optional, Tuple
+from typing import Dict, Tuple
 
 import numpy as np
 
-from stratanet2_tpu.config import FEATURE_NAMES, DataConfig, ModelConfig
+from stratanet2_tpu.config import FEATURE_NAMES, ModelConfig
 
 COLORS_MAX = 65536
 INTENSITY_MAX = 32768

@@ -15,7 +15,7 @@ rasterio.features for the operations this pipeline uses:
 
 from __future__ import annotations
 
-from typing import List, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import numpy as np
 

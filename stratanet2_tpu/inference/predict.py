@@ -19,7 +19,7 @@ from __future__ import annotations
 import logging
 import os
 import pickle
-from typing import Dict, List, Optional
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp

@@ -20,12 +20,12 @@ from __future__ import annotations
 
 import logging
 import os
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Optional, Sequence
 
 import numpy as np
 
 from stratanet2_tpu.data.transforms import get_normalized_x_y_meshgrid
-from stratanet2_tpu.inference.geotiff import GeoTiff, read_geotiff, write_geotiff
+from stratanet2_tpu.inference.geotiff import read_geotiff, write_geotiff
 from stratanet2_tpu.inference.polygons import (
     Polygon,
     erode_disk,

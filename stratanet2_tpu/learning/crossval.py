@@ -7,7 +7,6 @@ import logging
 import os
 from typing import Dict, List
 
-import numpy as np
 import pandas as pd
 from sklearn.model_selection import KFold
 

@@ -12,8 +12,6 @@ distance-to-neighbor-class-borders :96-106) and three accuracy variants
 from __future__ import annotations
 
 import os
-from typing import Dict, Iterable, Optional
-
 import numpy as np
 import pandas as pd
 

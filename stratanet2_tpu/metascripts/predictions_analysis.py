@@ -9,7 +9,6 @@ from __future__ import annotations
 import os
 from argparse import ArgumentParser
 
-import numpy as np
 import pandas as pd
 from scipy import stats
 

@@ -21,12 +21,11 @@ These compose with batch-axis data parallelism on a 2-D mesh
 
 from __future__ import annotations
 
-import functools
 from typing import Tuple
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 try:
     from jax import shard_map as _shard_map_impl  # jax >= 0.5
