@@ -37,6 +37,40 @@ class TestWorklist:
         assert len(get_unprocessed_files(str(inp), str(tmp_path / "nope"))) == 1
 
 
+class TestConcurrentWorkers:
+    def test_two_workers_cover_worklist(self, tmp_path):
+        """Two concurrent workers draining the same worklist produce all
+        outputs; duplicated work is idempotent (the reference's implicit
+        multi-process pattern, prepare.py:48-59)."""
+        import threading
+        import time as _time
+
+        from stratanet2_tpu.utils.worklist import get_unprocessed_files, stem
+
+        inp, out = tmp_path / "in", tmp_path / "out"
+        inp.mkdir(), out.mkdir()
+        for i in range(12):
+            (inp / f"p{i}.las").touch()
+
+        def worker(wid):
+            while True:
+                todo = get_unprocessed_files(str(inp), str(out), shuffle_seed=wid)
+                if not todo:
+                    return
+                f = todo[0]
+                _time.sleep(0.001)
+                # idempotent output write (atomic rename)
+                tmp = out / f".{stem(f)}.{wid}.tmp"
+                tmp.write_text(str(wid))
+                tmp.rename(out / (stem(f) + ".pkl"))
+
+        threads = [threading.Thread(target=worker, args=(w,)) for w in (1, 2)]
+        [t.start() for t in threads]
+        [t.join(timeout=30) for t in threads]
+        done = {p.name for p in out.iterdir()}
+        assert done == {f"p{i}.pkl" for i in range(12)}
+
+
 class TestCheckpoint:
     def test_roundtrip_and_discovery(self, tmp_path):
         import jax.numpy as jnp
