@@ -120,11 +120,17 @@ def _sa_module(
     idx = farthest_point_sampling(pos, n_centroids, use_pallas=use_pallas)
     centroids = _gather(pos, idx)  # (B, C, 3)
 
+    ch1 = p["layers"][0]["linear"]["w"].shape[1]
+    g = -(-pos.shape[1] // k)
+    # the fused kernel keeps the (K, C1, G) projection table in VMEM; fall
+    # back to the XLA path for clouds too large for on-chip residency
+    q_bytes = k * (ch1 + 8) * (-(-g // 128) * 128) * 4
     fused_ok = (
         (not train)
         and use_pallas
         and bq_method == "grouped"
         and len(p["layers"]) <= 2
+        and q_bytes < 8 * 2**20
         and jax.default_backend() == "tpu"
     )
     if fused_ok:
