@@ -76,6 +76,7 @@ def main():
     ap.add_argument("--epochs", type=int, default=60)
     ap.add_argument("--n_plots", type=int, default=60)
     ap.add_argument("--subsample_size", type=int, default=4096)
+    ap.add_argument("--ball_query_method", default="grouped", choices=["grouped", "nearest"])
     ns = ap.parse_args()
 
     from dataclasses import replace
@@ -102,7 +103,11 @@ def main():
     cfg = Config()
     cfg = replace(
         cfg,
-        model=replace(cfg.model, subsample_size=ns.subsample_size),
+        model=replace(
+            cfg.model,
+            subsample_size=ns.subsample_size,
+            ball_query_method=ns.ball_query_method,
+        ),
         train=replace(
             cfg.train, n_epoch=ns.epochs, n_epoch_test=max(ns.epochs // 4, 1),
             batch_size=8,
