@@ -52,7 +52,21 @@ def main(argv=None):
         )
         logger.info("Warm-starting from pretrained model %s", pretrained_path)
 
-    cross_validate(dataset, cfg, kde, stats_path, sink, pretrained_path=pretrained_path)
+    # data-parallel over all local devices when the batch divides evenly
+    import jax
+
+    mesh = None
+    n_dev = len(jax.devices())
+    if n_dev > 1 and cfg.train.batch_size % n_dev == 0:
+        from stratanet2_tpu.parallel import make_mesh
+
+        mesh = make_mesh()
+        logger.info("Using %d-device data-parallel mesh", n_dev)
+
+    cross_validate(
+        dataset, cfg, kde, stats_path, sink,
+        pretrained_path=pretrained_path, mesh=mesh,
+    )
     sink.close()
     return stats_path
 

@@ -30,6 +30,7 @@ def cross_validate(
     stats_path: str,
     sink,
     pretrained_path: str = None,
+    mesh=None,
 ) -> pd.DataFrame:
     """KFold(folds, seed=42, shuffle) cross-validation (main.py:66-99), then
     two analytics passes: with class-center-snapped GT (main.py:102-117) and
@@ -45,7 +46,7 @@ def cross_validate(
         _, train_losses, test_losses, cloud_infos = train_full(
             dataset, plot_ids[train_idx], plot_ids[val_idx],
             cfg, kde, stats_path, sink, fold_id=fold_id,
-            pretrained_path=pretrained_path,
+            pretrained_path=pretrained_path, mesh=mesh,
         )
         log_last_stats_of_fold(train_losses, test_losses, fold_id)
         all_train.append(train_losses)

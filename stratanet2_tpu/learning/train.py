@@ -164,8 +164,20 @@ def train_one_epoch(
     ts: TrainState,
     loader,
     rng_key: jax.Array,
+    mesh=None,
 ) -> Tuple[TrainState, Dict[str, float]]:
-    """One epoch over shuffled, drop_last batches (learning/train.py:29-79)."""
+    """One epoch over shuffled, drop_last batches (learning/train.py:29-79).
+
+    With a mesh, batches are placed with batch-axis sharding and XLA runs the
+    step data-parallel across devices (gradient psum over ICI)."""
+    from stratanet2_tpu.parallel import batch_sharding
+
+    def _put(x):
+        a = jnp.asarray(x)
+        if mesh is not None:
+            return jax.device_put(a, batch_sharding(mesh, a.ndim))
+        return a
+
     sums: Dict[str, float] = {}
     n = 0
     n_points = 0
@@ -174,9 +186,9 @@ def train_one_epoch(
         rng_key, sub = jax.random.split(rng_key)
         ts, comps = train_step(
             ts,
-            jnp.asarray(batch["cloud"]),
-            jnp.asarray(batch["xyz"]),
-            jnp.asarray(batch["coverages"]),
+            _put(batch["cloud"]),
+            _put(batch["xyz"]),
+            _put(batch["coverages"]),
             sub,
         )
         comps = jax.device_get(comps)
@@ -235,6 +247,7 @@ def train_full(
     pretrained_path: Optional[str] = None,
     seed: int = 0,
     resume: bool = False,
+    mesh=None,
 ):
     """Full training loop for one fold (reference learning/train.py:82-177).
 
@@ -273,6 +286,14 @@ def train_full(
         train_loader.epoch = start_epoch - 1  # keep shuffle schedule aligned
         logger.info("Resuming fold %d from epoch %d", fold_id, start_epoch)
 
+    if mesh is not None:
+        from stratanet2_tpu.parallel import replicate
+
+        ts = replicate(mesh, ts)
+        logger.info(
+            "Data-parallel training over %d devices", mesh.devices.size
+        )
+
     all_train_losses: List[Dict] = []
     all_test_losses: List[Dict] = []
     current_epoch = start_epoch - 1
@@ -280,7 +301,9 @@ def train_full(
         sink.set_epoch(current_epoch)
         t0 = time.time()
         with sink.context(f"fold_{fold_id}_train"):
-            ts, train_losses = train_one_epoch(train_step, ts, train_loader, rng_key)
+            ts, train_losses = train_one_epoch(
+                train_step, ts, train_loader, rng_key, mesh=mesh
+            )
             rng_key, _ = jax.random.split(rng_key)
             train_losses["epoch"] = current_epoch
             train_losses["epoch_seconds"] = time.time() - t0

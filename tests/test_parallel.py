@@ -45,6 +45,31 @@ class TestMesh:
             np.asarray(cov_ref), np.asarray(cov_dp), rtol=1e-5, atol=1e-6
         )
 
+    def test_train_full_with_mesh(self, tmp_path):
+        """The actual training loop runs data-parallel over the 8-device
+        mesh and produces finite losses + a checkpoint."""
+        import numpy as np
+
+        from tests.synthetic import make_plot_dataset, tiny_config
+        from stratanet2_tpu.learning.kde import fit_kde_mixture_from_dataset
+        from stratanet2_tpu.learning.train import train_full
+        from stratanet2_tpu.utils.experiment import MetricSink
+
+        cfg = tiny_config()  # batch_size=4; mesh of 4 devices divides it
+        ds = make_plot_dataset(np.random.default_rng(0), n_plots=8, n_points=300)
+        kde = fit_kde_mixture_from_dataset(ds)
+        ids = np.array(sorted(ds.keys()))
+        mesh = make_mesh(4)
+        sink = MetricSink(str(tmp_path))
+        _, train_losses, test_losses, _ = train_full(
+            ds, ids[:6], ids[6:], cfg, kde, str(tmp_path), sink,
+            fold_id=1, mesh=mesh,
+        )
+        assert all(np.isfinite(d["total_loss"]) for d in train_losses)
+        import os
+
+        assert os.path.exists(tmp_path / "PCC_model_fold_n=1.pt")
+
     def test_dp_grads_match_single_device(self):
         """Gradients under batch sharding equal single-device gradients —
         XLA's implicit psum replaces hand-written allreduce."""
