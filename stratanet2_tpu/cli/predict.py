@@ -57,7 +57,16 @@ def main(argv=None):
     if not is_pseudo:
         shp = read_shapefile(cfg.data.parcel_shapefile_path)
 
-    predict_step = make_predict_step(cfg)
+    import jax
+
+    mesh = None
+    n_dev = len(jax.devices())
+    if n_dev > 1 and cfg.train.batch_size % n_dev == 0:
+        from stratanet2_tpu.parallel import make_mesh
+
+        mesh = make_mesh()
+        logger.info("Using %d-device data-parallel inference mesh", n_dev)
+    predict_step = make_predict_step(cfg, mesh=mesh)
     max_batches = 10 if cfg.mode == "DEV" else None
 
     while True:

@@ -52,8 +52,11 @@ def filter_dataset(dataset: Dict, is_pseudo_labelling: bool, min_points: int = 2
     return dataset
 
 
-def make_predict_step(cfg: Config):
-    """Jitted forward + raster projection + plotwise coverages."""
+def make_predict_step(cfg: Config, mesh=None):
+    """Jitted forward + raster projection + plotwise coverages.
+
+    With a mesh, input batches are placed with batch-axis sharding so the
+    tile batch fans out across all devices (plots are i.i.d.)."""
     mcfg = cfg.model
 
     @jax.jit
@@ -65,7 +68,18 @@ def make_predict_step(cfg: Config):
         pred_pl = plotwise_coverages(cov, cloud[..., :2], mcfg.diam_pix)
         return rasters, pred_pl
 
-    return step
+    if mesh is None:
+        return step
+
+    from stratanet2_tpu.parallel import batch_sharding, replicate
+
+    def sharded_step(model, cloud, xyz):
+        model = replicate(mesh, model)
+        cloud = jax.device_put(cloud, batch_sharding(mesh, 3))
+        xyz = jax.device_put(xyz, batch_sharding(mesh, 3))
+        return step(model, cloud, xyz)
+
+    return sharded_step
 
 
 def predict_parcel(

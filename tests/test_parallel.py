@@ -70,6 +70,26 @@ class TestMesh:
 
         assert os.path.exists(tmp_path / "PCC_model_fold_n=1.pt")
 
+    def test_sharded_predict_matches_single_device(self, rng):
+        from tests.synthetic import tiny_config
+        from stratanet2_tpu.inference.predict import make_predict_step
+        from stratanet2_tpu.models import init_pointnet2
+
+        cfg = tiny_config()
+        model = init_pointnet2(jax.random.PRNGKey(0), cfg.model)
+        b, n = 8, cfg.model.subsample_size
+        cloud = jnp.asarray(rng.uniform(0, 1, (b, n, 10)).astype(np.float32))
+        xyz = jnp.asarray(rng.uniform(-10, 10, (b, n, 3)).astype(np.float32))
+        single = make_predict_step(cfg)
+        sharded = make_predict_step(cfg, mesh=make_mesh(8))
+        r1, p1 = single(model, cloud, xyz)
+        r2, p2 = sharded(model, cloud, xyz)
+        np.testing.assert_allclose(
+            np.nan_to_num(np.asarray(r1)), np.nan_to_num(np.asarray(r2)),
+            rtol=1e-5, atol=1e-6,
+        )
+        np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), rtol=1e-5, atol=1e-6)
+
     def test_dp_grads_match_single_device(self):
         """Gradients under batch sharding equal single-device gradients —
         XLA's implicit psum replaces hand-written allreduce."""
