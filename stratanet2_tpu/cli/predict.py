@@ -57,8 +57,6 @@ def main(argv=None):
     if not is_pseudo:
         shp = read_shapefile(cfg.data.parcel_shapefile_path)
 
-    import jax
-
     mesh = None
     n_dev = len(jax.devices())
     if n_dev > 1 and cfg.train.batch_size % n_dev == 0:
