@@ -424,7 +424,7 @@ def sa_fused_eval(
     w2, b2, a2, c2,  # layer 2 (or None for single-layer MLPs)
     radius: float,
     k: int,
-    cc: int = 256,
+    cc: int = 1024,  # centroid chunk; larger tiles use the VPU far better
 ) -> jax.Array:
     b, n, ch1 = q.shape
     c = centroids.shape[1]
