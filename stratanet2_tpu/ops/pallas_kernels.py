@@ -170,7 +170,7 @@ def _knn_pallas_raw(x_src, pos_src, pos_tgt, k: int, tc: int = 0):
         # adapt the target tile to VMEM: the kernel holds the (tc, S)
         # distance tile plus a same-size one-hot per argmin pass (~3 live
         # (tc, S) f32 buffers) and the (S, F) feature table.
-        budget = 10 * 2**20
+        budget = 12 * 2**20
         tc = max(128, min(1024, (budget // (s * 4 * 3)) // 128 * 128))
     tc = min(tc, t)
     tpad = _round_up(t, tc)
