@@ -109,6 +109,7 @@ def _sa_module(
     use_pallas: bool,
     chunk: int,
     bq_method: str = "grouped",
+    preproject: bool = False,
 ) -> Tuple[jax.Array, jax.Array, Params]:
     """Set-abstraction: FPS -> ball query -> PointConv-style shared MLP ->
     masked max (reference SAModule, model/point_net2.py:14-29).
@@ -150,10 +151,39 @@ def _sa_module(
         nbr_idx, nbr_mask = ball_query(
             centroids, pos, radius, k, chunk=chunk, method=bq_method
         )
-    x_j = _gather(x, nbr_idx)  # (B, C, K, F)
-    rel = _gather(pos, nbr_idx) - centroids[:, :, None, :]  # (B, C, K, 3)
-    h = jnp.concatenate([x_j, rel.astype(x_j.dtype)], axis=-1)
-    h, new_s = nn.mlp(p, s, h, mask=nbr_mask, train=train, compute_dtype=compute_dtype)
+    if preproject:
+        # Layer 1 distributes over the edge concat [x_j, pos_j - pos_c]:
+        # pre-project per POINT (q = x@W1x + pos@W1p + b1, N rows) and per
+        # centroid (cterm = pos_c@W1p), then each edge is one gather +
+        # subtract — ~K x fewer layer-1 FLOPs and no (B,C,K,F+3) concat
+        # tensor (same trick as the fused eval kernel). Only pays off when
+        # x already requires gradients (deeper SA stages): for the first
+        # stage x is the input cloud, and pre-projection would *introduce*
+        # a differentiable gather whose backward scatter-add dominates.
+        l1 = p["layers"][0]
+        w1, b1 = l1["linear"]["w"], l1["linear"]["b"]
+        f = x.shape[-1]
+        q = (
+            jnp.einsum("bnf,fc->bnc", x.astype(jnp.float32), w1[:f])
+            + jnp.einsum("bnd,dc->bnc", pos.astype(jnp.float32), w1[f:])
+            + b1
+        )
+        cterm = jnp.einsum("bcd,dk->bck", centroids.astype(jnp.float32), w1[f:])
+        h = jax.nn.relu(_gather(q, nbr_idx) - cterm[:, :, None, :])
+        h, bn1_state = nn.batchnorm(l1["bn"], s["layers"][0], h, nbr_mask, train)
+        new_layer_states = [bn1_state]
+        for layer_p, layer_s in zip(p["layers"][1:], s["layers"][1:]):
+            h = jax.nn.relu(nn.linear(layer_p["linear"], h, compute_dtype))
+            h, ns2 = nn.batchnorm(layer_p["bn"], layer_s, h, nbr_mask, train)
+            new_layer_states.append(ns2)
+        new_s = {"layers": new_layer_states}
+    else:
+        x_j = _gather(x, nbr_idx)  # (B, C, K, F)
+        rel = _gather(pos, nbr_idx) - centroids[:, :, None, :]  # (B, C, K, 3)
+        h = jnp.concatenate([x_j, rel.astype(x_j.dtype)], axis=-1)
+        h, new_s = nn.mlp(
+            p, s, h, mask=nbr_mask, train=train, compute_dtype=compute_dtype
+        )
     neg = jnp.asarray(-1e30, h.dtype)
     h = jnp.where(nbr_mask[..., None], h, neg)
     out = jnp.max(h, axis=2)  # (B, C, F') — each centroid is its own neighbor
@@ -237,6 +267,7 @@ def pointnet2_forward(
     x2, pos2, new_s["sa2"] = _sa_module(
         p["sa2"], s["sa2"], x1, pos1, cfg.n_centroids2, cfg.r2, cfg.k2,
         train, dt, cfg.use_pallas, cfg.knn_chunk, cfg.ball_query_method,
+        preproject=True,  # x1 requires grads anyway; save edge-lin1 work
     )
 
     # Global SA (model/point_net2.py:32-42): MLP on [x, pos], per-cloud max.
