@@ -67,7 +67,8 @@ def main(argv=None):
 
     fold_id = -1
     _, train_losses, test_losses, cloud_infos = train_full(
-        dataset, train_ids, val_ids, cfg, kde, stats_path, sink, fold_id=fold_id
+        dataset, train_ids, val_ids, cfg, kde, stats_path, sink,
+        fold_id=fold_id, seed=cfg.train.seed,
     )
     log_last_stats_of_fold(train_losses, test_losses, fold_id)
     stats_for_all_folds([train_losses], [test_losses], sink)

@@ -135,14 +135,14 @@ def prepare_and_save_plots_dataset(cfg: Config, gt_file_path: Optional[str] = No
         las_filenames = sample_filenames_for_dev_crossvalidation(las_filenames, cfg)
 
     ground_truths = load_ground_truths_dataframe(gt_file_path)
-    by_name = {
-        os.path.splitext(os.path.basename(f))[0].lower(): f for f in las_filenames
-    }
-    plot_names = [n for n in ground_truths.Name.values if str(n).lower() in by_name]
+    # exact-match names like the reference (utils/load_data.py:69-74): the
+    # plot_id later derives from the filename and must hit the same GT row
+    by_name = {os.path.splitext(os.path.basename(f))[0]: f for f in las_filenames}
+    plot_names = [n for n in ground_truths.Name.values if str(n) in by_name]
 
     dataset = {}
     for index, plot_name in enumerate(plot_names):
-        filename = by_name[str(plot_name).lower()]
+        filename = by_name[str(plot_name)]
         plot_id, cloud_data = get_cloud_data(filename, cfg, ground_truths)
         cloud_data["index"] = index
         dataset[plot_id] = cloud_data

@@ -93,7 +93,7 @@ def read_las(path: str) -> LasData:
         core = _CORE_14
         rgb_off = core
         has_rgb = point_format in (7, 8, 10)
-        has_nir = point_format == 8
+        has_nir = point_format in (8, 10)  # format 10 = RGB+NIR+waveform
     else:
         raise ValueError(f"{path}: unsupported point format {point_format}")
 

@@ -231,6 +231,7 @@ def load_cloud_item(
       coverages (4,) GT or empty.
     """
     cloud = np.asarray(cloud_data["cloud"], np.float32)
+    n_original = cloud.shape[1]  # before fake points / subsampling
     cloud = center_cloud(cloud, cloud_data["plot_center"])
     cloud = add_fake_empty_ground_points(
         cloud, model_cfg.diam_meters, model_cfg.n_input_feats
@@ -249,5 +250,5 @@ def load_cloud_item(
         "coverages": coverages,
         "plot_id": cloud_data["plot_id"],
         "plot_center": np.asarray(cloud_data["plot_center"], np.float32),
-        "N_points_in_cloud": cloud_data.get("N_points_in_cloud", cloud.shape[1]),
+        "N_points_in_cloud": cloud_data.get("N_points_in_cloud", n_original),
     }

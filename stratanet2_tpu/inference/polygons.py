@@ -111,47 +111,34 @@ def keep_points_outside_shape(
 # ---------------------------------------------------------------------------
 
 def connected_components(mask: np.ndarray, connectivity: int = 4) -> Tuple[np.ndarray, int]:
-    """Label connected components of a boolean mask. Small rasters only —
-    iterative label propagation (O(iters * H * W))."""
+    """Label connected components of a boolean mask (0-based labels, -1 for
+    background). scipy.ndimage.label (C) — parcel-scale mosaics are large."""
+    from scipy import ndimage
+
     mask = np.asarray(mask, bool)
-    h, w = mask.shape
-    labels = np.where(mask, np.arange(h * w).reshape(h, w), -1).astype(np.int64)
-    while True:
-        new = labels.copy()
-        shifts = [(0, 1), (0, -1), (1, 0), (-1, 0)]
-        if connectivity == 8:
-            shifts += [(1, 1), (1, -1), (-1, 1), (-1, -1)]
-        for dy, dx in shifts:
-            sh = np.full_like(labels, -1)
-            ys = slice(max(dy, 0), h + min(dy, 0))
-            xs = slice(max(dx, 0), w + min(dx, 0))
-            ys_src = slice(max(-dy, 0), h + min(-dy, 0))
-            xs_src = slice(max(-dx, 0), w + min(-dx, 0))
-            sh[ys, xs] = labels[ys_src, xs_src]
-            new = np.where(mask & (sh >= 0) & ((new < 0) | (sh < new)), sh, new)
-        if np.array_equal(new, labels):
-            break
-        labels = new
-    uniq = np.unique(labels[labels >= 0])
-    remap = {int(u): i for i, u in enumerate(uniq)}
-    out = np.full_like(labels, -1)
-    for u, i in remap.items():
-        out[labels == u] = i
-    return out, len(uniq)
+    structure = (
+        np.ones((3, 3), bool) if connectivity == 8 else None  # default: 4-conn
+    )
+    labels, n = ndimage.label(mask, structure=structure)
+    return labels.astype(np.int64) - 1, int(n)
 
 
 def sieve(values: np.ndarray, min_size: int, mask: np.ndarray | None = None) -> np.ndarray:
     """Remove connected patches smaller than min_size, replacing them with 0
     (rasterio.features.sieve semantics for a 0/1 raster as used at
-    geotiff_raster.py:164-166)."""
+    geotiff_raster.py:164-166). Vectorized: component sizes via bincount,
+    one boolean take to kill small components."""
     vals = np.asarray(values).copy()
     valid = ~np.asarray(mask, bool) if mask is not None else np.ones_like(vals, bool)
     ones = (vals == 1) & valid
     labels, n = connected_components(ones)
-    for i in range(n):
-        comp = labels == i
-        if comp.sum() < min_size:
-            vals[comp] = 0
+    if n == 0:
+        return vals
+    sizes = np.bincount((labels[labels >= 0]).ravel(), minlength=n)
+    small = sizes < min_size  # (n,)
+    kill = np.zeros(n + 1, bool)
+    kill[1:] = small
+    vals[kill[labels + 1]] = 0
     return vals
 
 

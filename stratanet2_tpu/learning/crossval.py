@@ -46,7 +46,7 @@ def cross_validate(
         _, train_losses, test_losses, cloud_infos = train_full(
             dataset, plot_ids[train_idx], plot_ids[val_idx],
             cfg, kde, stats_path, sink, fold_id=fold_id,
-            pretrained_path=pretrained_path, mesh=mesh,
+            pretrained_path=pretrained_path, mesh=mesh, seed=cfg.train.seed,
         )
         log_last_stats_of_fold(train_losses, test_losses, fold_id)
         all_train.append(train_losses)

@@ -66,23 +66,13 @@ def evaluate(
     embedding_names: List[str] = []
 
     for batch in loader:
-        pred_pl, cov, proba, comps, aux = eval_step(
+        pred_pl, cov, proba, comps, aux, g = eval_step(
             model,
             jnp.asarray(batch["cloud"]),
             jnp.asarray(batch["xyz"]),
             jnp.asarray(batch["coverages"]),
         )
         if cfg.log_embeddings and last_epoch:
-            from stratanet2_tpu.models import pointnet2_forward
-
-            *_rest, g = pointnet2_forward(
-                model,
-                jnp.asarray(batch["cloud"])[..., 2:],
-                jnp.asarray(batch["xyz"]),
-                cfg.model,
-                train=False,
-                return_embeddings=True,
-            )
             g = np.asarray(jax.device_get(g))
             for i in np.where(batch["valid"])[0]:
                 embeddings.append(g[i])

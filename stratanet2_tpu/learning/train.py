@@ -121,8 +121,8 @@ def make_eval_step(cfg: Config, kde: KdeMixture):
     kde_pdfs = jnp.asarray(kde.pdfs)
 
     def step(model: PointNet2Params, cloud, xyz, gt):
-        cov, proba, _ = pointnet2_forward(
-            model, cloud[..., 2:], xyz, mcfg, train=False
+        cov, proba, _, g = pointnet2_forward(
+            model, cloud[..., 2:], xyz, mcfg, train=False, return_embeddings=True
         )
         pred_pl = plotwise_coverages(cov, cloud[..., :2], mcfg.diam_pix)
         z_m = cloud[..., 2] * mcfg.z_max
@@ -154,7 +154,7 @@ def make_eval_step(cfg: Config, kde: KdeMixture):
             }, (p_all, pdf)
 
         comps, aux = jax.vmap(per_item)(pred_pl, gt, proba, z_m)
-        return pred_pl, cov, proba, comps, aux
+        return pred_pl, cov, proba, comps, aux, g
 
     return jax.jit(step)
 
@@ -302,9 +302,13 @@ def train_full(
         t0 = time.time()
         with sink.context(f"fold_{fold_id}_train"):
             ts, train_losses = train_one_epoch(
-                train_step, ts, train_loader, rng_key, mesh=mesh
+                train_step, ts, train_loader,
+                # independent key stream per epoch (splitting the same key
+                # forward would make epoch e+1 reuse epoch e's dropout keys
+                # shifted by one batch)
+                jax.random.fold_in(rng_key, current_epoch),
+                mesh=mesh,
             )
-            rng_key, _ = jax.random.split(rng_key)
             train_losses["epoch"] = current_epoch
             train_losses["epoch_seconds"] = time.time() - t0
             print_epoch_losses(current_epoch, train_losses, train=True)

@@ -12,6 +12,7 @@ from __future__ import annotations
 import glob
 import os
 import random
+import zlib
 from typing import List, Optional
 
 
@@ -36,7 +37,12 @@ def get_unprocessed_files(
     done = {stem(p) for p in files_in(output_folder)} if os.path.isdir(output_folder) else set()
     todo = [p for p in files_in(input_folder) if stem(p) not in done]
     if n_hosts > 1:
-        todo = [p for p in todo if hash(stem(p)) % n_hosts == host_id]
+        # crc32: stable across processes/hosts (built-in hash() is salted
+        # per interpreter and would partition differently on every host)
+        todo = [
+            p for p in todo
+            if zlib.crc32(stem(p).encode()) % n_hosts == host_id
+        ]
     rnd = random.Random(shuffle_seed)
     rnd.shuffle(todo)
     return todo

@@ -3,29 +3,7 @@ parity on synthetic clouds; the archived dataset is not available)."""
 
 import numpy as np
 
-
-def make_plot_cloud(rng, n=400, center=(500.0, 6_500_000.0), radius=10.0):
-    """Feature-major (10, N) plot cloud with plausible vegetation structure."""
-    theta = rng.uniform(0, 2 * np.pi, n)
-    r = radius * np.sqrt(rng.uniform(0, 1, n))
-    x = center[0] + r * np.cos(theta)
-    y = center[1] + r * np.sin(theta)
-    # three strata: ground (z~0), medium (1-5m), high (5-20m)
-    kind = rng.choice(3, n, p=[0.5, 0.3, 0.2])
-    z = np.where(
-        kind == 0,
-        rng.uniform(0, 0.3, n),
-        np.where(kind == 1, rng.uniform(1, 5, n), rng.uniform(5, 20, n)),
-    )
-    colors = rng.uniform(0, 65535, (4, n))
-    intensity = rng.uniform(0, 32767, n)
-    return_num = rng.integers(1, 4, n).astype(np.float64)
-    num_returns = np.maximum(return_num, rng.integers(1, 4, n))
-    return np.asarray(
-        [x, y, z, colors[0], colors[1], colors[2], colors[3], intensity,
-         return_num, num_returns],
-        dtype=np.float32,
-    )
+from stratanet2_tpu.utils.synthetic import make_plot_cloud  # noqa: F401 (shared fixture)
 
 
 def make_plot_dataset(rng, n_plots=8, n_points=400):
