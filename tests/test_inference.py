@@ -80,6 +80,45 @@ class TestPolygons:
         assert out.sum() < m.sum()
 
 
+class TestIOEdgeCases:
+    def test_geotiff_rejects_non_tiff(self, tmp_path):
+        p = tmp_path / "junk.tif"
+        p.write_bytes(b"NOT A TIFF FILE AT ALL")
+        with pytest.raises(AssertionError):
+            G.read_geotiff(str(p))
+
+    def test_las_rejects_non_las(self, tmp_path):
+        from stratanet2_tpu.data.las import read_las
+
+        p = tmp_path / "junk.las"
+        p.write_bytes(b"\x00" * 400)
+        with pytest.raises(ValueError):
+            read_las(str(p))
+
+    def test_shapefile_null_shape_roundtrip(self, tmp_path):
+        shp = S.Shapefile(
+            fields=[S.FieldSpec("ID", "C", 8)],
+            shape_records=[
+                S.ShapeRecord(None, {"ID": "empty"}),
+                S.ShapeRecord(square(0, 0, 10), {"ID": "full"}),
+            ],
+        )
+        p = str(tmp_path / "n.shp")
+        S.write_shapefile(p, shp)
+        out = S.read_shapefile(p)
+        assert out.shape_records[0].shape is None
+        assert out.shape_records[1].shape is not None
+        with pytest.raises(AssertionError):
+            out.get_shape("empty")
+
+    def test_single_band_geotiff(self, tmp_path, rng):
+        band = rng.uniform(0, 1, (7, 9)).astype(np.float32)
+        p = str(tmp_path / "one.tif")
+        G.write_geotiff(p, band, [0, 1, 0, 9, 0, -1])
+        out = G.read_geotiff(p)
+        np.testing.assert_array_equal(out.bands[0], band)
+
+
 class TestShapefile:
     def test_roundtrip(self, tmp_path, rng):
         poly1 = square(0, 0, 100)
