@@ -31,6 +31,11 @@ def main(argv=None):
     logger.info("cfg: %s", cfg)
 
     dataset = prepare_and_save_plots_dataset(cfg, cfg.data.corrected_gt_file_path)
+    if not dataset:
+        raise SystemExit(
+            f"No plots found: no .las files in {cfg.data.las_plots_folder_path} "
+            f"matching names in {cfg.data.corrected_gt_file_path}"
+        )
     logger.info("Dataset contains %d plots.", len(dataset))
 
     kde = fit_kde_mixture_from_dataset(dataset)
