@@ -12,10 +12,44 @@ class TestMesh:
     def test_eight_virtual_devices(self):
         assert len(jax.devices()) == 8
 
-    def test_dryrun_multichip(self):
+    def test_dryrun_multichip_inproc(self):
+        """Under conftest's preset 8-device env the step runs in-process."""
         import __graft_entry__ as g
 
         g.dryrun_multichip(8)
+
+    def test_dryrun_multichip_driver_env(self):
+        """Regression for the round-1 driver failure (MULTICHIP_r01.json):
+        dryrun_multichip must succeed in a FRESH interpreter with NO env
+        presets — i.e. with whatever backend the machine's sitecustomize
+        initializes (a 1-device TPU under axon, 1-device CPU in CI). The
+        entry point must bootstrap the virtual mesh itself via subprocess
+        re-exec."""
+        import os
+        import subprocess
+        import sys
+
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        env = {
+            k: v
+            for k, v in os.environ.items()
+            if k not in ("JAX_PLATFORMS", "XLA_FLAGS", "PYTHONPATH")
+        }
+        env["PYTHONPATH"] = repo
+        r = subprocess.run(
+            [
+                sys.executable,
+                "-c",
+                "import __graft_entry__ as g; g.dryrun_multichip(8)",
+            ],
+            env=env,
+            cwd=repo,
+            capture_output=True,
+            text=True,
+            timeout=600,
+        )
+        assert r.returncode == 0, f"rc={r.returncode}\n{r.stdout}\n{r.stderr}"
+        assert "dryrun_multichip OK" in r.stdout
 
     def test_dp_forward_matches_single_device(self):
         """Data-parallel sharded forward == replicated forward (bitwise-level
