@@ -147,13 +147,10 @@ def erode_disk(mask: np.ndarray, radius_pixels: float) -> np.ndarray:
     radius of p are True. Equivalent (on the pixel grid) to testing pixel
     centers against the negative-buffered polygonization of the mask
     (geotiff_raster.py:174-187)."""
+    from scipy import ndimage
+
     mask = np.asarray(mask, bool)
-    h, w = mask.shape
-    r = int(np.floor(radius_pixels))
-    out = mask.copy()
-    pad = np.pad(mask, r + 1, constant_values=False)
-    for dy in range(-r - 1, r + 2):
-        for dx in range(-r - 1, r + 2):
-            if dy * dy + dx * dx <= radius_pixels * radius_pixels:
-                out &= pad[r + 1 + dy : r + 1 + dy + h, r + 1 + dx : r + 1 + dx + w]
-    return out
+    r = int(np.floor(radius_pixels)) + 1
+    yy, xx = np.mgrid[-r : r + 1, -r : r + 1]
+    disk = (yy * yy + xx * xx) <= radius_pixels * radius_pixels
+    return ndimage.binary_erosion(mask, structure=disk, border_value=0)

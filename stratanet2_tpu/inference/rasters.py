@@ -109,7 +109,7 @@ def merge_geotiff_rasters(
     weights = np.where(any_weight, weight_sum, np.nan)
 
     mosaic = np.concatenate([scores, weights], axis=0).astype(np.float32)
-    mosaic = finalize_merged_raster(mosaic)
+    mosaic = finalize_merged_raster(mosaic, px_per_meter=1.0 / px_w)
     geotransform = [xmin, px_w, 0.0, ymax, 0.0, -px_h]
     if parcel_shape is not None:
         mosaic = crop_merged_raster(mosaic, parcel_shape, geotransform)
@@ -165,15 +165,21 @@ def insert_admissibility_raster(mosaic: np.ndarray, px_per_meter: float = 1.0) -
     return np.insert(mosaic, 4, admissibility.astype(np.float32), axis=0)
 
 
-def finalize_merged_raster(mosaic: np.ndarray) -> np.ndarray:
+def finalize_merged_raster(
+    mosaic: np.ndarray, px_per_meter: float = 1.0
+) -> np.ndarray:
     """Keep 3 preds + 1 weight band, insert hard-Vm and admissibility bands,
-    zero NaNs where at least one band predicted (geotiff_raster.py:273-291)."""
+    zero NaNs where at least one band predicted (geotiff_raster.py:273-291).
+
+    px_per_meter converts the reference's 1.5 m admissibility buffer to
+    pixels (diam_pix / diam_meters; the merge computes it from the tile
+    geotransform so non-square-meter pixels erode correctly)."""
     mosaic = mosaic[: 3 + 1]
     mosaic = insert_hard_med_veg_raster_band(mosaic)
     no_pred = np.sum(np.isnan(mosaic[:3]), axis=0) == 3
     mosaic = np.nan_to_num(mosaic, nan=0.0)
     mosaic[:, no_pred] = np.nan
-    mosaic = insert_admissibility_raster(mosaic)
+    mosaic = insert_admissibility_raster(mosaic, px_per_meter=px_per_meter)
     return mosaic
 
 

@@ -29,7 +29,6 @@ logger = logging.getLogger("stratanet2_tpu")
 
 PLOT_RADIUS_METERS = 10.0  # hardcoded in the reference (prepare_utils.py:116)
 LAS_PARCEL_BUFFER = 20.0  # (:147)
-MIN_N_POINTS_FOR_INFERENCE = 50  # (:67)
 
 
 def get_plot_centers(
@@ -120,8 +119,9 @@ def extract_plots_from_parcel(
         queries = [tree.query_ball_point(c, r=radius) for c in plot_centers]
 
     plots: Dict[str, Dict] = {}
+    min_points = cfg.data.min_points_per_plot  # prepare_utils.py:67-69
     for idx, (center, pt_idx) in enumerate(zip(plot_centers, queries)):
-        if len(pt_idx) < MIN_N_POINTS_FOR_INFERENCE:
+        if len(pt_idx) < min_points:
             continue
         cloud = parcel_cloud[:, pt_idx]
         cloud = pre_transform(cloud, cfg.data.znorm_radius_in_meters)

@@ -111,6 +111,9 @@ def evaluate(
         )
         sink.log_metrics({"embeddings": emb_path})
 
+    if last_epoch and summaries:
+        log_mae_histograms(summaries, stats_path, sink, fold_id, epoch)
+
     freq = cfg.log_confusion_matrix_frequency
     if last_epoch or (freq > 0 and epoch % freq == 0):
         df = pd.DataFrame(summaries)
@@ -123,6 +126,56 @@ def evaluate(
             logger.warning("confusion matrix logging failed: %s", err)
 
     return means, summaries
+
+
+def log_mae_histograms(
+    summaries: List[Dict], stats_path: str, sink, fold_id: int, epoch: int
+) -> None:
+    """Per-stratum |pred - gt| histograms on the last eval epoch (reference
+    learning/test.py:166-193, Comet log_histogram_3d): one PNG with the three
+    distributions plus MetricSink records of the binned counts."""
+    names = [
+        ("val_MAE_veg_b", "pred_veg_b", "vt_veg_b"),
+        ("val_MAE_veg_moy", "pred_veg_moy", "vt_veg_moy"),
+        ("val_MAE_veg_h", "pred_veg_h", "vt_veg_h"),
+    ]
+    errors = {
+        name: np.array([abs(s[p] - s[v]) for s in summaries])
+        for name, p, v in names
+    }
+    bins = np.linspace(0.0, 1.0, 21)
+    for name, err in errors.items():
+        counts, _ = np.histogram(err, bins=bins)
+        sink.log_metrics(
+            {
+                f"{name}_hist_counts": counts.tolist(),
+                f"{name}_hist_bins": bins.tolist(),
+                f"{name}_mean": float(err.mean()),
+            },
+            epoch=epoch,
+            step=fold_id,
+        )
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        fig, axes = plt.subplots(1, 3, figsize=(12, 3.5), sharey=True)
+        for ax, (name, err) in zip(axes, errors.items()):
+            ax.hist(err, bins=bins, color="tab:green", edgecolor="black")
+            ax.set_title(f"{name} (mean {err.mean():.3f})")
+            ax.set_xlabel("|pred - gt|")
+        axes[0].set_ylabel("plots")
+        out_dir = os.path.join(stats_path, "img")
+        os.makedirs(out_dir, exist_ok=True)
+        out = os.path.join(out_dir, f"mae_histograms_fold_{fold_id}.png")
+        fig.tight_layout()
+        fig.savefig(out, dpi=120)
+        plt.close(fig)
+        sink.log_image(out)
+    except Exception as err:  # figures must never kill training
+        logger.warning("MAE histogram figure failed: %s", err)
 
 
 def _maybe_visualize(batch, i, pred_pl, cov, proba, aux, cfg, stats_path, fold_id):

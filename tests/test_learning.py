@@ -168,3 +168,13 @@ class TestTrainSmoke:
         assert os.path.exists(tmp_path / "PCC_model_fold_n=1.pt")
         # loss should not explode across 2 epochs
         assert train_losses[-1]["total_loss"] < train_losses[0]["total_loss"] * 3
+        # last-epoch MAE histograms (reference learning/test.py:166-193)
+        assert os.path.exists(tmp_path / "img" / "mae_histograms_fold_1.png")
+        import json
+
+        with open(tmp_path / "metrics.jsonl") as f:
+            recorded = [json.loads(line) for line in f]
+        hist = [r for r in recorded if "val_MAE_veg_moy_hist_counts" in r.get("metrics", {})]
+        assert hist, "MAE histogram counts missing from the metric sink"
+        counts = hist[-1]["metrics"]["val_MAE_veg_moy_hist_counts"]
+        assert sum(counts) == len(cloud_infos)
