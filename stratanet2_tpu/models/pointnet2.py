@@ -110,6 +110,7 @@ def _sa_module(
     chunk: int,
     bq_method: str = "grouped",
     preproject: bool = False,
+    fps_parts: int = 1,
 ) -> Tuple[jax.Array, jax.Array, Params]:
     """Set-abstraction: FPS -> ball query -> PointConv-style shared MLP ->
     masked max (reference SAModule, model/point_net2.py:14-29).
@@ -118,7 +119,9 @@ def _sa_module(
     folded-BN MLP + max in VMEM, ops/pallas_kernels.sa_fused_eval); training
     and non-TPU backends use the XLA path below with identical selection
     semantics."""
-    idx = farthest_point_sampling(pos, n_centroids, use_pallas=use_pallas)
+    idx = farthest_point_sampling(
+        pos, n_centroids, use_pallas=use_pallas, parts=fps_parts
+    )
     centroids = _gather(pos, idx)  # (B, C, 3)
 
     ch1 = p["layers"][0]["linear"]["w"].shape[1]
@@ -263,11 +266,13 @@ def pointnet2_forward(
     x1, pos1, new_s["sa1"] = _sa_module(
         p["sa1"], s["sa1"], x0, pos0, cfg.n_centroids1, cfg.r1, cfg.k1,
         train, dt, cfg.use_pallas, cfg.knn_chunk, cfg.ball_query_method,
+        fps_parts=cfg.fps_parts,
     )
     x2, pos2, new_s["sa2"] = _sa_module(
         p["sa2"], s["sa2"], x1, pos1, cfg.n_centroids2, cfg.r2, cfg.k2,
         train, dt, cfg.use_pallas, cfg.knn_chunk, cfg.ball_query_method,
         preproject=True,  # x1 requires grads anyway; save edge-lin1 work
+        fps_parts=cfg.fps_parts,
     )
 
     # Global SA (model/point_net2.py:32-42): MLP on [x, pos], per-cloud max.

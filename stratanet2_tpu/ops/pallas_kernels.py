@@ -35,6 +35,98 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _mxu_dist2(a: jax.Array, bt: jax.Array) -> jax.Array:
+    """Squared distances (A, B) between rows of a (A, 3) and columns of
+    bt (3, B), with the cross term on the MXU: d2 = |a|^2 + |b|^2 - 2 a.b.
+
+    precision=HIGHEST runs the multi-pass f32 MXU algorithm; the residual
+    cancellation error is ~|a||b|*eps_f32 (~1e-4 m^2 at 10 m coordinates),
+    negligible against the ball radii (r^2 >= 2) and only able to flip
+    selections between near-equidistant neighbors. This moves the dominant
+    O(C*N) sweep from 9 VPU ops/element to 3 (plus MXU work that overlaps),
+    measured ~3x on the selection kernels (docs/KERNELS.md).
+    """
+    an = jnp.sum(a * a, axis=1, keepdims=True)  # (A, 1)
+    bn = jnp.sum(bt * bt, axis=0, keepdims=True)  # (1, B)
+    ab = jax.lax.dot_general(
+        a, bt,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return an + bn - 2.0 * ab
+
+
+# --- hi/lo-split bf16 distance cross terms ---------------------------------
+#
+# The HIGHEST-precision f32 MXU matmul runs 6 passes; with a contraction dim
+# of only 3 (padded to the MXU's 128) that sextuples an already 2%-utilized
+# matmul. Splitting each coordinate x = hi + lo into two bf16 halves gives
+# x.y ~= hi_x.hi_y + lo_x.hi_y + hi_x.lo_y (dropping lo.lo <= 4e-4 m^2) as a
+# SINGLE bf16 MXU pass over a 9-wide contraction. The MXU accumulates in
+# f32, so the only other error is the split itself; total |d2 error| is
+# ~1e-3 m^2 worst-case at 10 m coordinates — selection-grade (ball radii
+# r^2 >= 2), used for picking neighbors, never for values fed to the MLPs.
+
+
+def _hilo_split(x: jax.Array, in_kernel: bool = False):
+    # Outside kernels the split MUST use reduce_precision, not a bf16 cast
+    # round-trip: XLA runs with --xla_allow_excess_precision and is free to
+    # elide the downcast in x - f32(bf16(x)), silently zeroing the lo half
+    # (observed: 2.6% wrong neighbor picks). Mosaic has no reduce_precision
+    # but lowers casts literally, so the round-trip is safe in-kernel.
+    if in_kernel:
+        hi = x.astype(jnp.bfloat16)
+        lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        return hi, lo
+    hi_f32 = jax.lax.reduce_precision(x, exponent_bits=8, mantissa_bits=7)
+    hi = hi_f32.astype(jnp.bfloat16)  # exact: already bf16-representable
+    lo = (x - hi_f32).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def _hilo9_rows(xt: jax.Array) -> jax.Array:
+    """(..., 3, L) f32 -> (..., 9, L) bf16 rows [hi, hi, lo] for the 9-wide
+    cross-term contraction (pairs with `_hilo9_cols`)."""
+    hi, lo = _hilo_split(xt)
+    return jnp.concatenate([hi, hi, lo], axis=-2)
+
+
+def _hilo9_cols(a: jax.Array) -> jax.Array:
+    """(A, 3) f32 -> (A, 9) bf16 columns [hi, lo, hi]. Kernel-side helper."""
+    hi, lo = _hilo_split(a, in_kernel=True)
+    return jnp.concatenate([hi, lo, hi], axis=-1)
+
+
+def _mxu_dist2_hilo(a9, an, bt9, bn) -> jax.Array:
+    """d2 from pre-split operands: a9 (A, 9) bf16, an (A, 1) f32 row norms,
+    bt9 (9, B) bf16, bn (1, B) f32 column norms."""
+    ab = jax.lax.dot_general(
+        a9, bt9,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    return an + bn - 2.0 * ab
+
+
+def _min_argmin_packed(d2: jax.Array, nbits: int):
+    """Fused (min, argmin) over the last axis in ONE reduction pass.
+
+    d2 >= 0, so its f32 bit pattern is monotonic as an int32; clobbering the
+    low `nbits` mantissa bits with the lane index makes a single int32 min
+    return both. Cost: the low bits of the returned min distance are zeroed
+    (relative error 2^(nbits-24), ~6e-5 for 9 bits) — below the bf16
+    cross-term noise, and only the selection compares these values.
+    """
+    col = jax.lax.broadcasted_iota(jnp.int32, d2.shape, d2.ndim - 1)
+    low = (1 << nbits) - 1
+    key = (jax.lax.bitcast_convert_type(d2, jnp.int32) & ~low) | col
+    kmin = jnp.min(key, axis=-1)
+    within = kmin & low
+    dmin = jax.lax.bitcast_convert_type(kmin & ~low, jnp.float32)
+    return dmin, within
+
+
 def _fps_kernel(n_samples: int, n_valid: int):
     def kernel(start_ref, xyz_ref, out_ref, dist_ref):
         # xyz_ref: (B, 3, Np) VMEM; start_ref: (B, 1) VMEM int32
@@ -123,17 +215,16 @@ def fps_pallas(xyz: jax.Array, n_samples: int, start_idx: jax.Array) -> jax.Arra
 
 
 def _knn_kernel(k: int, s_valid: int):
-    def kernel(tgt_ref, src_ref, feat_ref, out_ref, idx_ref, w_ref):
-        # tgt_ref: (1, TC, 3); src_ref: (1, S, 3); feat_ref: (1, S, F)
+    def kernel(tgt_ref, src9_ref, sn_ref, feat_ref, out_ref, idx_ref, w_ref):
+        # tgt_ref: (1, TC, 3); src9 (1, 9, S) bf16 hi/lo rows; sn (1, 1, S)
+        # f32 norms; feat_ref: (1, S, F)
         # out_ref: (1, TC, F); idx_ref/w_ref: (1, TC, k)
         tc = tgt_ref.shape[1]
-        s = src_ref.shape[1]
+        s = src9_ref.shape[2]
         tgt = tgt_ref[0]
-        src = src_ref[0]
-        d2 = jnp.zeros((tc, s), jnp.float32)
-        for d in range(3):
-            diff = tgt[:, d][:, None] - src[:, d][None, :]
-            d2 = d2 + diff * diff
+        tn = jnp.sum(tgt * tgt, axis=1, keepdims=True)
+        t9 = _hilo9_cols(tgt)
+        d2 = _mxu_dist2_hilo(t9, tn, src9_ref[0], sn_ref[0])
         col = jax.lax.broadcasted_iota(jnp.int32, (tc, s), 1)
         d2 = jnp.where(col < s_valid, d2, jnp.float32(3.4e38))
 
@@ -170,7 +261,7 @@ def _knn_pallas_raw(x_src, pos_src, pos_tgt, k: int, tc: int = 0):
         # adapt the target tile to VMEM: the kernel holds the (tc, S)
         # distance tile plus a same-size one-hot per argmin pass (~3 live
         # (tc, S) f32 buffers) and the (S, F) feature table.
-        budget = 12 * 2**20
+        budget = 10 * 2**20
         tc = max(128, min(1024, (budget // (s * 4 * 3)) // 128 * 128))
     tc = min(tc, t)
     tpad = _round_up(t, tc)
@@ -180,12 +271,17 @@ def _knn_pallas_raw(x_src, pos_src, pos_tgt, k: int, tc: int = 0):
         )
     n_chunks = tpad // tc
 
+    srct = jnp.swapaxes(pos_src.astype(jnp.float32), 1, 2)  # (B, 3, S)
+    src9 = _hilo9_rows(srct)
+    sn = jnp.sum(srct * srct, axis=1, keepdims=True)  # (B, 1, S)
+
     out, idx, w = pl.pallas_call(
         _knn_kernel(k, s),
         grid=(b, n_chunks),
         in_specs=[
             pl.BlockSpec((1, tc, 3), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, s, 3), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 9, s), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, s), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, s, f), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(
@@ -201,7 +297,8 @@ def _knn_pallas_raw(x_src, pos_src, pos_tgt, k: int, tc: int = 0):
         interpret=jax.default_backend() != "tpu",
     )(
         pos_tgt.astype(jnp.float32),
-        pos_src.astype(jnp.float32),
+        src9,
+        sn,
         x_src.astype(jnp.float32),
     )
     return out[:, :t], idx[:, :t], w[:, :t]
@@ -263,36 +360,104 @@ def knn_interpolate_pallas(x_src, pos_src, pos_tgt, k: int = 3):
 # through selection), so no custom VJP is needed.
 
 
-def _bq_kernel(k: int, n_valid: int, r2: float):
-    def kernel(cent_ref, xyz_ref, idx_ref, mask_ref):
-        # cent (1,CC,3); xyz (1,K,3,G); idx/mask (1,CC,K)
+def _grouped_layout(points: jax.Array, k: int):
+    """(B, N, 3) -> (B, 3, K*G) with each group lane-aligned (G = ceil(N/k)
+    rounded to 128). Group gi holds original points [gi*g_real, gi*g_real +
+    g_real) in lanes [gi*G, gi*G + g_real); tail lanes are zero padding.
+
+    Lane alignment lets the kernels slice per-group (CC, G) views out of one
+    block-batched MXU distance tile with no relayout."""
+    b, n, _ = points.shape
+    g_real = -(-n // k)
+    g = _round_up(g_real, _LANE)
+    xyz = points
+    if k * g_real != n:
+        xyz = jnp.pad(xyz, ((0, 0), (0, k * g_real - n), (0, 0)))
+    xg = xyz.reshape(b, k, g_real, 3)
+    if g != g_real:
+        xg = jnp.pad(xg, ((0, 0), (0, 0), (0, g - g_real), (0, 0)))
+    xt = jnp.swapaxes(xg.reshape(b, k * g, 3), 1, 2)
+    return xt.astype(jnp.float32), g_real, g
+
+
+def _block_layout(x: jax.Array, k: int, blk: int, g_real: int, g: int):
+    """(B, N, F) -> (B, nb, F, blk*G) block-batched grouped layout: block bi
+    holds groups [bi*blk, (bi+1)*blk), each lane-aligned as in
+    `_grouped_layout`."""
+    b, n, f = x.shape
+    nb = k // blk
+    if k * g_real != n:
+        x = jnp.pad(x, ((0, 0), (0, k * g_real - n), (0, 0)))
+    xg = x.reshape(b, nb, blk, g_real, f)
+    if g != g_real:
+        xg = jnp.pad(xg, ((0, 0), (0, 0), (0, 0), (0, g - g_real), (0, 0)))
+    xg = jnp.moveaxis(xg, -1, 2)  # (b, nb, f, blk, g)
+    return xg.reshape(b, nb, f, blk * g)
+
+
+def _group_blocks(k: int, g: int, cc: int = 512, budget: int = 12 * 2**20) -> int:
+    """Groups batched per MXU distance matmul inside the selection kernels,
+    bounded by VMEM for the (CC, blk*G) f32 result tile."""
+    lanes = budget // (cc * 4)
+    blk = max(1, min(k, 16, lanes // g))
+    while k % blk:
+        blk -= 1
+    return blk
+
+
+def _use_packed(g: int) -> bool:
+    # The fused packed min+argmin wins for wide groups (bq1: 13.6 -> 4.6 ms)
+    # but measured slower than plain min/argmin for narrow ones (bq2 g=128:
+    # 4.0 -> 8.4 ms).
+    return g >= 256
+
+
+def _bq_kernel(k: int, g_real: int, n_valid: int, r2: float, blk: int):
+    def kernel(cent_ref, xyz9_ref, pn_ref, idx_ref, mask_ref):
+        # cent (1,CC,3) f32; xyz9 (1,K/blk,9,blk*G) bf16 hi/lo rows;
+        # pn (1,K/blk,1,blk*G) f32 column norms; idx/mask (1,CC,K).
+        #
+        # fori_loop over group BLOCKS (not a Python unroll): argmin's
+        # iota/select temporaries are (CC, G)-sized, and an unrolled loop
+        # keeps all k of them live (~22 MB of scoped vmem, OOM). One MXU
+        # matmul covers the blk groups of each iteration; per-group views
+        # are static lane-aligned slices of its result tile.
         cc = cent_ref.shape[1]
-        g = xyz_ref.shape[3]
+        g = xyz9_ref.shape[3] // blk
         cent = cent_ref[0]
-        col = jax.lax.broadcasted_iota(jnp.int32, (cc, g), 1)
+        cn = jnp.sum(cent * cent, axis=1, keepdims=True)
+        c9 = _hilo9_cols(cent)
+        colg = jax.lax.broadcasted_iota(jnp.int32, (cc, g), 1)
         colk = jax.lax.broadcasted_iota(jnp.int32, (cc, k), 1)
 
-        def body(gi, carry):
+        packed = _use_packed(g)
+        nbits = max(1, (g - 1).bit_length())
+
+        def body(bi, carry):
             idx_acc, mask_acc = carry
-            xyz_g = xyz_ref[0, gi]  # (3, G)
-            d2 = jnp.zeros((cc, g), jnp.float32)
-            for d in range(3):
-                diff = cent[:, d][:, None] - xyz_g[d, :][None, :]
-                d2 = d2 + diff * diff
-            pad = (gi * g + col) >= n_valid
-            d2 = jnp.where(pad, jnp.float32(3.4e38), d2)
-            dmin = jnp.min(d2, axis=1)
-            within = jnp.argmin(d2, axis=1).astype(jnp.int32)
-            valid = dmin <= r2
-            gidx = jnp.where(valid, within + gi * g, 0)
-            here = colk == gi
-            idx_acc = jnp.where(here, gidx[:, None], idx_acc)
-            mask_acc = jnp.where(here, valid[:, None].astype(jnp.int32), mask_acc)
+            d2b = _mxu_dist2_hilo(c9, cn, xyz9_ref[0, bi], pn_ref[0, bi])
+            for l in range(blk):
+                gi = bi * blk + l
+                d2 = d2b[:, l * g : (l + 1) * g]
+                pad = (colg >= g_real) | ((gi * g_real + colg) >= n_valid)
+                d2 = jnp.where(pad, jnp.float32(3.4e38), d2)
+                if packed:
+                    dmin, within = _min_argmin_packed(d2, nbits)
+                else:
+                    dmin = jnp.min(d2, axis=1)
+                    within = jnp.argmin(d2, axis=1).astype(jnp.int32)
+                valid = dmin <= r2
+                here = colk == gi
+                gidx = jnp.where(valid, within + gi * g_real, 0)
+                idx_acc = jnp.where(here, gidx[:, None], idx_acc)
+                mask_acc = jnp.where(
+                    here, valid[:, None].astype(jnp.int32), mask_acc
+                )
             return idx_acc, mask_acc
 
         idx0 = jnp.zeros((cc, k), jnp.int32)
         m0 = jnp.zeros((cc, k), jnp.int32)
-        idx_out, mask_out = jax.lax.fori_loop(0, k, body, (idx0, m0))
+        idx_out, mask_out = jax.lax.fori_loop(0, k // blk, body, (idx0, m0))
         idx_ref[0] = idx_out
         mask_ref[0] = mask_out
 
@@ -311,12 +476,13 @@ def ball_query_grouped_pallas(
     VMEM-resident distance tiles. Returns ((B, C, k) int32, (B, C, k) bool)."""
     b, n, _ = points.shape
     c = centroids.shape[1]
-    g = -(-n // k)
-    npad = k * g
-    xyz = points
-    if npad != n:
-        xyz = jnp.pad(xyz, ((0, 0), (0, npad - n), (0, 0)))
-    xg = jnp.swapaxes(xyz.reshape(b, k, g, 3), 2, 3).astype(jnp.float32)
+    xt, g_real, g = _grouped_layout(points, k)
+    xt9 = _hilo9_rows(xt)
+    pn = jnp.sum(xt * xt, axis=1, keepdims=True)  # (B, 1, K*G) f32
+    blk = _group_blocks(k, g)
+    nb = k // blk
+    xt9 = xt9.reshape(b, 9, nb, blk * g).swapaxes(1, 2)  # (B, nb, 9, blk*G)
+    pn = pn.reshape(b, 1, nb, blk * g).swapaxes(1, 2)
 
     cc = min(cc, c)
     cpad = _round_up(c, cc)
@@ -325,11 +491,12 @@ def ball_query_grouped_pallas(
         cent = jnp.pad(cent, ((0, 0), (0, cpad - c), (0, 0)))
 
     idx, mask = pl.pallas_call(
-        _bq_kernel(k, n, float(radius) ** 2),
+        _bq_kernel(k, g_real, n, float(radius) ** 2, blk),
         grid=(b, cpad // cc),
         in_specs=[
             pl.BlockSpec((1, cc, 3), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, k, 3, g), lambda i, j: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nb, 9, blk * g), lambda i, j: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nb, 1, blk * g), lambda i, j: (i, 0, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(
             pl.BlockSpec((1, cc, k), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
@@ -340,7 +507,7 @@ def ball_query_grouped_pallas(
             jax.ShapeDtypeStruct((b, cpad, k), jnp.int32),
         ),
         interpret=jax.default_backend() != "tpu",
-    )(cent.astype(jnp.float32), xg)
+    )(cent.astype(jnp.float32), xt9, pn)
     return idx[:, :c], mask[:, :c].astype(bool)
 
 
@@ -363,53 +530,67 @@ def ball_query_grouped_pallas(
 # tensor); selection semantics are identical (grouped ball query).
 
 
-def _sa_kernel(k: int, n_valid: int, r2: float, two_layer: bool):
-    def kernel(cent_ref, cterm_ref, xyz_ref, q_ref, aff_ref, w2_ref, out_ref):
-        # cent (1,CC,3) cterm (1,CC,C1) xyz (1,K,3,G) q (1,K,C1,G)
+def _sa_kernel(k: int, g_real: int, n_valid: int, r2: float, two_layer: bool, blk: int):
+    def kernel(cent_ref, cterm_ref, x9_ref, pn_ref, q_ref, aff_ref, w2_ref, out_ref):
+        # cent (1,CC,3) cterm (1,CC,C1); x9 (1,nb,9,blk*G) bf16 hi/lo rows;
+        # pn (1,nb,1,blk*G) f32 norms; q (1,nb,C1,blk*G) f32
         # (channel-on-sublane / points-on-lane layout: the G axis sits on
         #  lanes, so the small channel axes don't get padded to 128)
         # aff (6, Cmax): rows a1,c1,b2,a2,c2,unused; w2 (C1,C2)
         cc = cent_ref.shape[1]
-        g = xyz_ref.shape[3]
+        g = x9_ref.shape[3] // blk
         c1 = q_ref.shape[2]
         c2 = out_ref.shape[2]
         cent = cent_ref[0]  # (CC, 3)
         cterm = cterm_ref[0]
+        cn = jnp.sum(cent * cent, axis=1, keepdims=True)
+        c9 = _hilo9_cols(cent)
         a1 = aff_ref[0, :c1][None, :]
         c1v = aff_ref[1, :c1][None, :]
         col = jax.lax.broadcasted_iota(jnp.int32, (cc, g), 1)
+        packed = _use_packed(g)
+        nbits = max(1, (g - 1).bit_length())
 
-        def body(gi, maxacc):
-            xyz_g = xyz_ref[0, gi]  # (3, G)
-            q_g = q_ref[0, gi]  # (C1, G)
-            d2 = jnp.zeros((cc, g), jnp.float32)
-            for d in range(3):
-                diff = cent[:, d][:, None] - xyz_g[d, :][None, :]
-                d2 = d2 + diff * diff
-            base = gi * g
-            pad = (base + col) >= n_valid
-            d2 = jnp.where(pad, jnp.float32(3.4e38), d2)
-            dmin = jnp.min(d2, axis=1)  # (CC,)
-            idx = jnp.argmin(d2, axis=1)
-            valid = dmin <= r2
-            onehot = (col == idx[:, None]).astype(jnp.float32)
-            sel = jax.lax.dot_general(
-                onehot, q_g,
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # (CC, C1): contract over G
-            e = jax.nn.relu(sel - cterm) * a1 + c1v
-            if two_layer:
-                b2 = aff_ref[2, :c2][None, :]
-                a2 = aff_ref[3, :c2][None, :]
-                c2v = aff_ref[4, :c2][None, :]
-                e = jnp.dot(e, w2_ref[:, :], preferred_element_type=jnp.float32)
-                e = jax.nn.relu(e + b2) * a2 + c2v
-            e = jnp.where(valid[:, None], e, jnp.float32(-3.4e38))
-            return jnp.maximum(maxacc, e)
+        def body(bi, maxacc):
+            d2b = _mxu_dist2_hilo(c9, cn, x9_ref[0, bi], pn_ref[0, bi])
+            qb = q_ref[0, bi]  # (C1, blk*G) f32
+            # hi/lo split so the one-hot gather runs as two single-pass bf16
+            # matmuls while returning the q values f32-exact (to lo rounding,
+            # ~2^-17 relative) — 3x cheaper than a HIGHEST f32 matmul
+            qhi = qb.astype(jnp.bfloat16)
+            qlo = (qb - qhi.astype(jnp.float32)).astype(jnp.bfloat16)
+            for l in range(blk):
+                gi = bi * blk + l
+                sl = slice(l * g, (l + 1) * g)
+                d2 = d2b[:, sl]
+                pad = (col >= g_real) | ((gi * g_real + col) >= n_valid)
+                d2 = jnp.where(pad, jnp.float32(3.4e38), d2)
+                if packed:
+                    dmin, idx = _min_argmin_packed(d2, nbits)
+                else:
+                    dmin = jnp.min(d2, axis=1)
+                    idx = jnp.argmin(d2, axis=1).astype(jnp.int32)
+                valid = dmin <= r2
+                onehot = (col == idx[:, None]).astype(jnp.bfloat16)
+                dn = (((1,), (1,)), ((), ()))  # contract over G
+                sel = jax.lax.dot_general(
+                    onehot, qhi[:, sl], dn, preferred_element_type=jnp.float32
+                ) + jax.lax.dot_general(
+                    onehot, qlo[:, sl], dn, preferred_element_type=jnp.float32
+                )  # (CC, C1)
+                e = jax.nn.relu(sel - cterm) * a1 + c1v
+                if two_layer:
+                    b2 = aff_ref[2, :c2][None, :]
+                    a2 = aff_ref[3, :c2][None, :]
+                    c2v = aff_ref[4, :c2][None, :]
+                    e = jnp.dot(e, w2_ref[:, :], preferred_element_type=jnp.float32)
+                    e = jax.nn.relu(e + b2) * a2 + c2v
+                e = jnp.where(valid[:, None], e, jnp.float32(-3.4e38))
+                maxacc = jnp.maximum(maxacc, e)
+            return maxacc
 
         init = jnp.full((cc, c2), -3.4e38, jnp.float32)
-        out_ref[0] = jax.lax.fori_loop(0, k, body, init)
+        out_ref[0] = jax.lax.fori_loop(0, k // blk, body, init)
 
     return kernel
 
@@ -431,16 +612,16 @@ def sa_fused_eval(
     two_layer = w2 is not None
     ch2 = w2.shape[1] if two_layer else ch1
 
-    g = -(-n // k)
-    npad = k * g
-    if npad != n:
-        q = jnp.pad(q, ((0, 0), (0, npad - n), (0, 0)))
-        xyz = jnp.pad(xyz, ((0, 0), (0, npad - n), (0, 0)))
-    # channel-on-sublane layout (see _sa_kernel)
-    qg = jnp.swapaxes(q.reshape(b, k, g, ch1), 2, 3).astype(jnp.float32)
-    xg = jnp.swapaxes(xyz.reshape(b, k, g, 3), 2, 3).astype(jnp.float32)
-
+    g_real = -(-n // k)
+    g = _round_up(g_real, _LANE)
     cc = min(cc, c)
+    blk = _group_blocks(k, g, cc=cc, budget=6 * 2**20)
+    nb = k // blk
+    xb = _block_layout(xyz.astype(jnp.float32), k, blk, g_real, g)
+    x9 = _hilo9_rows(xb)  # (B, nb, 9, blk*G) bf16
+    pn = jnp.sum(xb * xb, axis=2, keepdims=True)  # (B, nb, 1, blk*G)
+    qg = _block_layout(q.astype(jnp.float32), k, blk, g_real, g)
+
     cpad = _round_up(c, cc)
     if cpad != c:
         centroids = jnp.pad(centroids, ((0, 0), (0, cpad - c), (0, 0)))
@@ -456,13 +637,14 @@ def sa_fused_eval(
         w2a = jnp.zeros((ch1, ch1), jnp.float32)
 
     out = pl.pallas_call(
-        _sa_kernel(k, n, float(radius) ** 2, two_layer),
+        _sa_kernel(k, g_real, n, float(radius) ** 2, two_layer, blk),
         grid=(b, cpad // cc),
         in_specs=[
             pl.BlockSpec((1, cc, 3), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, cc, ch1), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, k, 3, g), lambda i, j: (i, 0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, k, ch1, g), lambda i, j: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nb, 9, blk * g), lambda i, j: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nb, 1, blk * g), lambda i, j: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nb, ch1, blk * g), lambda i, j: (i, 0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
@@ -472,6 +654,6 @@ def sa_fused_eval(
         out_shape=jax.ShapeDtypeStruct((b, cpad, ch2), jnp.float32),
         interpret=jax.default_backend() != "tpu",
     )(
-        centroids.astype(jnp.float32), cterm.astype(jnp.float32), xg, qg, aff, w2a
+        centroids.astype(jnp.float32), cterm.astype(jnp.float32), x9, pn, qg, aff, w2a
     )
     return out[:, :c]

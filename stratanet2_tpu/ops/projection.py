@@ -62,12 +62,16 @@ def plotwise_coverages(
     def one(cov, xy1):
         pix = _pixel_bins_minmax(xy1, diam_pix)
         n_seg = diam_pix * diam_pix
-        pix_max = jax.ops.segment_max(
-            cov, pix, num_segments=n_seg, indices_are_sorted=False
-        )  # (P^2, 4); empty segments get -inf
-        occupied = jax.ops.segment_max(
-            jnp.ones((cov.shape[0],), jnp.float32), pix, num_segments=n_seg
-        ) > 0.0
+        # dense masked max over an explicit (P^2, N) pixel-membership mask:
+        # XLA fuses the compare+select into the N-axis reduction, where
+        # segment_max lowers to a serialized TPU scatter (measured ~30%
+        # slower fwd and bwd at the PROD geometry)
+        seg = jnp.arange(n_seg, dtype=jnp.int32)
+        mask = pix[None, :] == seg[:, None]  # (P^2, N)
+        pix_max = jnp.max(
+            jnp.where(mask[:, :, None], cov[None], jnp.float32(_NEG)), axis=1
+        )  # (P^2, 4)
+        occupied = jnp.any(mask, axis=1)
         pix_max = jnp.where(occupied[:, None], pix_max, 0.0)
         n_occ = jnp.sum(occupied.astype(jnp.float32))
         low = pix_max[:, 0]
