@@ -304,6 +304,88 @@ def _knn_pallas_raw(x_src, pos_src, pos_tgt, k: int, tc: int = 0):
     return out[:, :t], idx[:, :t], w[:, :t]
 
 
+def _knn_scatter_kernel(k: int):
+    def kernel(idx_ref, w_ref, g_ref, out_ref):
+        # idx/w (1, TC, k); g (1, TC, F) cotangents; out (1, SP, F) f32,
+        # accumulated across target-chunk grid steps (sequential grid).
+        tc = idx_ref.shape[1]
+        spad = out_ref.shape[1]
+        f = g_ref.shape[2]
+        cols = jax.lax.broadcasted_iota(jnp.int32, (tc, spad), 1)
+        gv = g_ref[0]  # (TC, F)
+        acc = jnp.zeros((spad, f), jnp.float32)
+        dn = (((0,), (0,)), ((), ()))  # contract over TC
+        for j in range(k):
+            onehot = (cols == idx_ref[0, :, j][:, None]).astype(jnp.bfloat16)
+            wg = gv * w_ref[0, :, j][:, None]  # (TC, F) f32
+            hi = wg.astype(jnp.bfloat16)
+            lo = (wg - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            acc = acc + jax.lax.dot_general(
+                onehot, hi, dn, preferred_element_type=jnp.float32
+            ) + jax.lax.dot_general(
+                onehot, lo, dn, preferred_element_type=jnp.float32
+            )
+
+        jc = pl.program_id(1)
+
+        @pl.when(jc == 0)
+        def _init():
+            out_ref[0] = acc
+
+        @pl.when(jc > 0)
+        def _accum():
+            out_ref[0] = out_ref[0] + acc
+
+    return kernel
+
+
+def _knn_scatter_pallas(idx, w, g, s: int):
+    """Transpose of the kNN gather: dx[b, idx[b,t,j]] += w[b,t,j] * g[b,t].
+
+    The XLA scatter-add (segment_sum) serializes on TPU (~10 ms at the FP1
+    PROD geometry); here each target chunk builds its one-hot in VMEM and
+    accumulates via MXU matmuls (~1 ms). Cotangents ride hi/lo-split bf16
+    matmuls, f32-exact to lo rounding (~2^-17 relative).
+    """
+    b, t, k = idx.shape
+    f = g.shape[2]
+    tc = max(128, min(512, _round_up(t, 128) // max(1, t // 512)))
+    tc = min(tc, _round_up(t, 8))
+    tpad = _round_up(t, tc)
+    if tpad != t:
+        idx = jnp.pad(idx, ((0, 0), (0, tpad - t), (0, 0)))
+        w = jnp.pad(w, ((0, 0), (0, tpad - t), (0, 0)))
+        g = jnp.pad(g, ((0, 0), (0, tpad - t), (0, 0)))  # zero cotangents
+    spad = _round_up(s, 8)
+
+    out = pl.pallas_call(
+        _knn_scatter_kernel(k),
+        grid=(b, tpad // tc),
+        in_specs=[
+            pl.BlockSpec((1, tc, k), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tc, k), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tc, f), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, spad, f), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, spad, f), jnp.float32),
+        interpret=jax.default_backend() != "tpu",
+    )(idx, w.astype(jnp.float32), g.astype(jnp.float32))
+    return out[:, :s]
+
+
+def scatter_add_pallas(idx: jax.Array, vals: jax.Array, n: int) -> jax.Array:
+    """out[b, idx[b, m]] += vals[b, m] for flat index lists: (B, M) int32,
+    (B, M, F) values -> (B, n, F). MXU one-hot formulation of the XLA
+    scatter-add (which serializes on TPU). Used as the VJP of differentiable
+    gathers (models.pointnet2._gather) and exercised by the kNN VJP."""
+    b, m = idx.shape
+    return _knn_scatter_pallas(
+        idx[..., None], jnp.ones((b, m, 1), jnp.float32), vals, n
+    )
+
+
 @functools.lru_cache(maxsize=None)
 def _knn_pallas_for_k(k: int):
     """custom_vjp closure for a given (static) k.
@@ -329,11 +411,8 @@ def _knn_pallas_for_k(k: int):
         b, s, f, _ = token.shape
         src_dtype = token.dtype
         t = idx.shape[1]
-        # dx_src[b, idx[b,t,j]] += w[b,t,j] * g[b,t]
-        vals = (w[..., None] * g.astype(jnp.float32)[:, :, None, :]).reshape(-1, f)
-        offs = (jnp.arange(b, dtype=jnp.int32) * s)[:, None, None]
-        ids = (idx + offs).reshape(-1)
-        dx = jax.ops.segment_sum(vals, ids, num_segments=b * s).reshape(b, s, f)
+        # dx_src[b, idx[b,t,j]] += w[b,t,j] * g[b,t] — MXU one-hot scatter
+        dx = _knn_scatter_pallas(idx, w, g, s)
         zeros3 = jnp.zeros((b, s, 3), jnp.float32)
         zeros_t = jnp.zeros((b, t, 3), jnp.float32)
         return dx.astype(src_dtype), zeros3, zeros_t
