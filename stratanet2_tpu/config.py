@@ -71,8 +71,10 @@ class ModelConfig:
     # coverage; "nearest": approx k-nearest-within-radius (see ops.ballquery)
     ball_query_method: str = "grouped"
     # partitioned FPS approximation (ops/fps.py): parts=2 halves the
-    # sequential selection loop; applied only at PROD-scale sample counts
+    # sequential selection loop; applied only when each part selects at
+    # least fps_min_part_samples (so DEV/test geometries stay exact)
     fps_parts: int = 2
+    fps_min_part_samples: int = 256
     knn_chunk: int = 1024  # target-chunk size for kNN/ball-query dist tiles
     use_pallas: bool = True  # Pallas fast path for FPS (falls back on CPU)
     compute_dtype: str = "float32"  # matmul compute dtype ("bfloat16" opt-in)

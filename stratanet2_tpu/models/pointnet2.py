@@ -138,6 +138,7 @@ def _sa_module(
     bq_method: str = "grouped",
     preproject: bool = False,
     fps_parts: int = 1,
+    fps_min_part_samples: int = 256,
 ) -> Tuple[jax.Array, jax.Array, Params]:
     """Set-abstraction: FPS -> ball query -> PointConv-style shared MLP ->
     masked max (reference SAModule, model/point_net2.py:14-29).
@@ -147,7 +148,8 @@ def _sa_module(
     and non-TPU backends use the XLA path below with identical selection
     semantics."""
     idx = farthest_point_sampling(
-        pos, n_centroids, use_pallas=use_pallas, parts=fps_parts
+        pos, n_centroids, use_pallas=use_pallas, parts=fps_parts,
+        min_part_samples=fps_min_part_samples,
     )
     centroids = _gather(pos, idx)  # (B, C, 3)
 
@@ -293,13 +295,13 @@ def pointnet2_forward(
     x1, pos1, new_s["sa1"] = _sa_module(
         p["sa1"], s["sa1"], x0, pos0, cfg.n_centroids1, cfg.r1, cfg.k1,
         train, dt, cfg.use_pallas, cfg.knn_chunk, cfg.ball_query_method,
-        fps_parts=cfg.fps_parts,
+        fps_parts=cfg.fps_parts, fps_min_part_samples=cfg.fps_min_part_samples,
     )
     x2, pos2, new_s["sa2"] = _sa_module(
         p["sa2"], s["sa2"], x1, pos1, cfg.n_centroids2, cfg.r2, cfg.k2,
         train, dt, cfg.use_pallas, cfg.knn_chunk, cfg.ball_query_method,
         preproject=True,  # x1 requires grads anyway; save edge-lin1 work
-        fps_parts=cfg.fps_parts,
+        fps_parts=cfg.fps_parts, fps_min_part_samples=cfg.fps_min_part_samples,
     )
 
     # Global SA (model/point_net2.py:32-42): MLP on [x, pos], per-cloud max.

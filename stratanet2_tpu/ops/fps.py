@@ -22,13 +22,17 @@ import jax
 import jax.numpy as jnp
 
 
-@functools.partial(jax.jit, static_argnames=("n_samples", "use_pallas", "parts"))
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_samples", "use_pallas", "parts", "min_part_samples"),
+)
 def farthest_point_sampling(
     xyz: jax.Array,
     n_samples: int,
     start_idx: jax.Array | int = 0,
     use_pallas: bool = True,
     parts: int = 1,
+    min_part_samples: int = 256,
 ) -> jax.Array:
     """Sample `n_samples` indices by farthest-point sampling.
 
@@ -61,7 +65,12 @@ def farthest_point_sampling(
     start = jnp.broadcast_to(jnp.asarray(start_idx, jnp.int32), (b,))
 
     p = int(parts)
-    if p > 1 and n % p == 0 and n_samples % p == 0 and n_samples // p >= 256:
+    if (
+        p > 1
+        and n % p == 0
+        and n_samples % p == 0
+        and n_samples // p >= min_part_samples
+    ):
         npart = n // p
         xp = xyz.reshape(b * p, npart, 3)
         sp = jnp.repeat(start, p) % npart

@@ -58,3 +58,52 @@ class TestPointSharded:
         np.testing.assert_allclose(
             np.nan_to_num(got), np.nan_to_num(want), rtol=1e-6
         )
+
+
+class TestPointShardedForward:
+    """End-to-end point-sharded forward on a (batch x points) 2-D mesh
+    (VERDICT round-1 item 4). The sharded plan (local FPS per shard == the
+    partitioned FPS approximation, per-shard grouped ball query == the
+    global contiguous groups when N % k1 == 0) makes sharded == unsharded
+    exact when the unsharded run uses fps_parts == point-mesh size."""
+
+    def _run(self, rng, db, dp):
+        from dataclasses import replace
+
+        from tests.synthetic import tiny_config
+        from stratanet2_tpu.models import init_pointnet2, pointnet2_forward
+        from stratanet2_tpu.parallel.point_sharded import (
+            make_mesh_2d,
+            pointnet2_forward_point_sharded,
+        )
+
+        cfg = tiny_config()
+        mcfg = replace(
+            cfg.model, subsample_size=512, fps_parts=dp, fps_min_part_samples=1
+        )
+        model = init_pointnet2(jax.random.PRNGKey(0), mcfg)
+        b, n = 2 * db, mcfg.subsample_size
+        assert n % mcfg.k1 == 0  # per-shard groups == global groups
+        cloud = jnp.asarray(rng.uniform(0, 1, (b, n, 8)).astype(np.float32))
+        xyz = jnp.asarray(rng.uniform(-10, 10, (b, n, 3)).astype(np.float32))
+
+        cov_ref, proba_ref, _ = pointnet2_forward(
+            model, cloud, xyz, mcfg, train=False
+        )
+
+        mesh = make_mesh_2d(db, dp)
+        cov_sh, proba_sh = pointnet2_forward_point_sharded(
+            model, cloud, xyz, mcfg, mesh
+        )
+        np.testing.assert_allclose(
+            np.asarray(cov_sh), np.asarray(cov_ref), rtol=1e-5, atol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(proba_sh), np.asarray(proba_ref), rtol=1e-5, atol=1e-6
+        )
+
+    def test_forward_matches_unsharded_2x4(self, rng):
+        self._run(rng, db=2, dp=4)
+
+    def test_forward_matches_unsharded_1x8(self, rng):
+        self._run(rng, db=1, dp=8)
