@@ -232,6 +232,9 @@ def _knn_kernel(k: int, s_valid: int):
         acc = jnp.zeros((tc, out_ref.shape[2]), jnp.float32)
         wsum = jnp.zeros((tc, 1), jnp.float32)
         ws, idxs = [], []
+        # (packed min+argmin measured SLOWER here than plain min+argmin,
+        # unlike the ball-query kernels — the int key rebuild per exclusion
+        # costs more than the argmin it saves at this tile shape)
         for j in range(k):
             dmin = jnp.min(d2, axis=1)
             idx = jnp.argmin(d2, axis=1).astype(jnp.int32)
@@ -246,7 +249,8 @@ def _knn_kernel(k: int, s_valid: int):
             wsum = wsum + w[:, None]
             idxs.append(idx)
             ws.append(w)
-            d2 = jnp.where(onehot > 0, jnp.float32(3.4e38), d2)
+            if j < k - 1:
+                d2 = jnp.where(onehot > 0, jnp.float32(3.4e38), d2)
         out_ref[0] = acc / wsum
         idx_ref[0] = jnp.stack(idxs, axis=-1)
         w_ref[0] = jnp.stack(ws, axis=-1) / wsum
