@@ -82,45 +82,13 @@ def count_params(p: Params) -> int:
     return sum(x.size for x in jax.tree_util.tree_leaves(p))
 
 
-def _gather_raw(x: jax.Array, idx: jax.Array) -> jax.Array:
-    b, n, f = x.shape
-    flat = x.reshape(b * n, f)
-    off = (jnp.arange(b, dtype=idx.dtype) * n).reshape((b,) + (1,) * (idx.ndim - 1))
-    out = jnp.take(flat, (idx + off).reshape(-1), axis=0)
-    return out.reshape(idx.shape + (f,))
-
-
-@jax.custom_vjp
-def _gather(x: jax.Array, idx: jax.Array) -> jax.Array:
-    """Batched gather: x (B, N, F), idx (B, ...) -> (B, ..., F).
-
-    Flattens the batch into axis 0 and gathers with offset indices — XLA
-    lowers this to an efficient row gather on TPU, unlike the vmapped fancy
-    index or take_along_axis forms (~10x slower, measured on v5e). The VJP
-    is the MXU one-hot scatter (ops.pallas_kernels.scatter_add_pallas): the
-    default jnp.take transpose is an XLA scatter-add, which serializes on
-    TPU (SA2's preproject q-gather backward).
-    """
-    return _gather_raw(x, idx)
-
-
-def _gather_fwd(x, idx):
-    token = jnp.zeros(x.shape + (0,), x.dtype)
-    return _gather_raw(x, idx), (idx, token)
-
-
-def _gather_bwd(res, g):
-    idx, token = res
-    b, n, f, _ = token.shape
-    from stratanet2_tpu.ops.pallas_kernels import scatter_add_pallas
-
-    dx = scatter_add_pallas(
-        idx.reshape(b, -1).astype(jnp.int32), g.reshape(b, -1, f), n
-    )
-    return dx.astype(token.dtype), None
-
-
-_gather.defvjp(_gather_fwd, _gather_bwd)
+# Batched row gather with the MXU one-hot scatter as VJP — shared with the
+# kNN interpolation (ops/pallas_kernels.py); kept under the historical local
+# names, they are used throughout this module and in tests.
+from stratanet2_tpu.ops.pallas_kernels import (  # noqa: E402
+    gather_rows as _gather,
+    gather_rows_raw as _gather_raw,
+)
 
 
 def _sa_module(

@@ -219,6 +219,11 @@ def _knn_kernel(k: int, s_valid: int):
         # tgt_ref: (1, TC, 3); src9 (1, 9, S) bf16 hi/lo rows; sn (1, 1, S)
         # f32 norms; feat_ref: (1, S, F)
         # out_ref: (1, TC, F); idx_ref/w_ref: (1, TC, k)
+        #
+        # (A selection-only variant with the feature gather moved outside to
+        # an XLA row gather measured SLOWER — FP1 fwd 7.6 -> 9.5 ms at the
+        # PROD geometry: the (B,T,k,F) HBM materialization costs more than
+        # these in-VMEM one-hot matmuls.)
         tc = tgt_ref.shape[1]
         s = src9_ref.shape[2]
         tgt = tgt_ref[0]
@@ -228,6 +233,9 @@ def _knn_kernel(k: int, s_valid: int):
         col = jax.lax.broadcasted_iota(jnp.int32, (tc, s), 1)
         d2 = jnp.where(col < s_valid, d2, jnp.float32(3.4e38))
 
+        # (hi/lo-split bf16 gather matmuls also measured SLOWER — FP1 fwd
+        # 7.6 -> 9.9 ms: under --xla_allow_excess_precision the single f32
+        # dot already lowers to one MXU pass, so splitting doubles it)
         feats = feat_ref[0]  # (S, F)
         acc = jnp.zeros((tc, out_ref.shape[2]), jnp.float32)
         wsum = jnp.zeros((tc, 1), jnp.float32)
@@ -383,11 +391,48 @@ def scatter_add_pallas(idx: jax.Array, vals: jax.Array, n: int) -> jax.Array:
     """out[b, idx[b, m]] += vals[b, m] for flat index lists: (B, M) int32,
     (B, M, F) values -> (B, n, F). MXU one-hot formulation of the XLA
     scatter-add (which serializes on TPU). Used as the VJP of differentiable
-    gathers (models.pointnet2._gather) and exercised by the kNN VJP."""
+    gathers (`gather_rows`) and exercised by the kNN VJP."""
     b, m = idx.shape
     return _knn_scatter_pallas(
         idx[..., None], jnp.ones((b, m, 1), jnp.float32), vals, n
     )
+
+
+def gather_rows_raw(x: jax.Array, idx: jax.Array) -> jax.Array:
+    b, n, f = x.shape
+    flat = x.reshape(b * n, f)
+    off = (jnp.arange(b, dtype=idx.dtype) * n).reshape((b,) + (1,) * (idx.ndim - 1))
+    out = jnp.take(flat, (idx + off).reshape(-1), axis=0)
+    return out.reshape(idx.shape + (f,))
+
+
+@jax.custom_vjp
+def gather_rows(x: jax.Array, idx: jax.Array) -> jax.Array:
+    """Batched gather: x (B, N, F), idx (B, ...) -> (B, ..., F).
+
+    Flattens the batch into axis 0 and gathers with offset indices — XLA
+    lowers this to an efficient row gather on TPU, unlike the vmapped fancy
+    index or take_along_axis forms (~10x slower, measured on v5e). The VJP
+    is the MXU one-hot scatter (`scatter_add_pallas`): the default jnp.take
+    transpose is an XLA scatter-add, which serializes on TPU."""
+    return gather_rows_raw(x, idx)
+
+
+def _gather_rows_fwd(x, idx):
+    token = jnp.zeros(x.shape + (0,), x.dtype)
+    return gather_rows_raw(x, idx), (idx, token)
+
+
+def _gather_rows_bwd(res, g):
+    idx, token = res
+    b, n, f, _ = token.shape
+    dx = scatter_add_pallas(
+        idx.reshape(b, -1).astype(jnp.int32), g.reshape(b, -1, f), n
+    )
+    return dx.astype(token.dtype), None
+
+
+gather_rows.defvjp(_gather_rows_fwd, _gather_rows_bwd)
 
 
 @functools.lru_cache(maxsize=None)
@@ -740,3 +785,182 @@ def sa_fused_eval(
         centroids.astype(jnp.float32), cterm.astype(jnp.float32), x9, pn, qg, aff, w2a
     )
     return out[:, :c]
+
+
+# ---------------------------------------------------------------------------
+# per-pixel max projection (scatter-max replacement)
+# ---------------------------------------------------------------------------
+#
+# The projection ops (ops/projection.py, reference model/project_to_2d.py)
+# need a per-pixel max of pointwise values over data-dependent pixel bins.
+# jax.ops.segment_max lowers to a serialized TPU scatter, and the dense
+# masked-max XLA form materializes / re-reads (P^2, N)-sized intermediates
+# in HBM (~4 ms fwd + ~2 ms bwd per train step at the PROD geometry). Here
+# the (P^2, NC) compare + select + max tiles live entirely in VMEM: one
+# sequential pass over point chunks carries the running per-pixel (max,
+# argmax) in scratch. The custom VJP routes each pixel's cotangent to its
+# stored argmax point with the same chunked compare in VMEM (an exact
+# one-winner max backward; XLA's scatter-add never appears).
+
+
+def _pixel_max_kernel(n_pix: int, c: int, nc: int, p2p: int):
+    def kernel(pix_ref, vals_ref, vmax_ref, amax_ref):
+        # pix (1, 1, Np) int32; vals (1, C, Np) f32 (channel-on-sublane)
+        # vmax (1, P2p, C) f32; amax (1, P2p, C) int32
+        #
+        # One grid step per cloud; the point-chunk loop is a fori_loop INSIDE
+        # the kernel with the running per-pixel (max, argmax) columns as
+        # vreg-resident carries — the grid-per-chunk form with VMEM scratch
+        # accumulators measured ~40 us of overhead per grid step (5.1 ms vs
+        # 4.2 ms fwd at the PROD geometry).
+        n = pix_ref.shape[2]
+        row = jax.lax.broadcasted_iota(jnp.int32, (p2p, nc), 0)
+        neg = jnp.float32(-3.4e38)
+
+        def body(j, carry):
+            off = j * nc
+            mask = pix_ref[0, :, pl.ds(off, nc)] == row  # padded pix = -1
+            v = vals_ref[0, :, pl.ds(off, nc)]  # (C, nc)
+            out = []
+            for ci in range(c):
+                vm, am = carry[2 * ci], carry[2 * ci + 1]  # (P2p, 1)
+                e = jnp.where(mask, v[ci : ci + 1, :], neg)
+                m = jnp.max(e, axis=1, keepdims=True)
+                a = jnp.argmax(e, axis=1).astype(jnp.int32)[:, None] + off
+                better = m > vm
+                out.append(jnp.where(better, m, vm))
+                out.append(jnp.where(better, a, am))
+            return tuple(out)
+
+        init = []
+        for _ in range(c):
+            init.append(jnp.full((p2p, 1), -3.4e38, jnp.float32))
+            init.append(jnp.full((p2p, 1), -1, jnp.int32))
+        final = jax.lax.fori_loop(0, n // nc, body, tuple(init))
+        vmax_ref[0] = jnp.concatenate(final[0::2], axis=1)
+        amax_ref[0] = jnp.concatenate(final[1::2], axis=1)
+
+    return kernel
+
+
+def _pixel_max_bwd_kernel(c: int):
+    def kernel(amax_ref, g_ref, dv_ref):
+        # amax/g (1, P2p, C); dv (1, C, NC) block for point chunk j
+        j = pl.program_id(1)
+        nc = dv_ref.shape[2]
+        p2p = amax_ref.shape[1]
+        col = jax.lax.broadcasted_iota(jnp.int32, (p2p, nc), 1) + j * nc
+        am = amax_ref[0]  # (P2p, C); -1 for empty pixels never matches
+        gg = g_ref[0]
+        outs = []
+        for ci in range(c):
+            hit = am[:, ci : ci + 1] == col
+            contrib = jnp.where(hit, gg[:, ci : ci + 1], 0.0)
+            outs.append(jnp.sum(contrib, axis=0, keepdims=True))  # (1, NC)
+        dv_ref[0] = jnp.concatenate(outs, axis=0)
+
+    return kernel
+
+
+def _pixel_chunk(n: int, n_pix: int, budget: int = 10 * 2**20) -> int:
+    """Point-chunk width for the pixel-max kernels, bounded by VMEM for the
+    ~3 live (P2p, nc) f32 temporaries of the compare/max/argmax chain."""
+    p2p = _round_up(n_pix, 8)
+    nc = max(_LANE, (budget // (p2p * 4 * 3)) // _LANE * _LANE)
+    return min(nc, 2048, _round_up(n, _LANE))
+
+
+def _pixel_max_fwd_raw(pix: jax.Array, vals: jax.Array, n_pix: int):
+    b, n, c = vals.shape
+    nc = _pixel_chunk(n, n_pix)
+    npad = _round_up(n, nc)
+    p2p = _round_up(n_pix, 8)
+    pixp = pix.astype(jnp.int32)
+    if npad != n:
+        pixp = jnp.pad(pixp, ((0, 0), (0, npad - n)), constant_values=-1)
+    vt = jnp.swapaxes(vals.astype(jnp.float32), 1, 2)  # (B, C, N)
+    if npad != n:
+        vt = jnp.pad(vt, ((0, 0), (0, 0), (0, npad - n)))
+
+    vmax, amax = pl.pallas_call(
+        _pixel_max_kernel(n_pix, c, nc, p2p),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, 1, npad), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c, npad), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, p2p, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, p2p, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, p2p, c), jnp.float32),
+            jax.ShapeDtypeStruct((b, p2p, c), jnp.int32),
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )(pixp[:, None, :], vt)
+    return vmax[:, :n_pix], amax[:, :n_pix]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def pixel_max_pallas(pix: jax.Array, vals: jax.Array, n_pix: int):
+    """Per-pixel max of pointwise values with data-dependent pixel bins.
+
+    The TPU-native scatter_max (torch_scatter, reference
+    model/project_to_2d.py:39): VMEM-resident chunked compare/max with a
+    carried running (max, argmax) — no XLA scatter, no (P^2, N) HBM
+    intermediate.
+
+    Args:
+      pix: (B, N) int32 pixel ids in [0, n_pix); ids outside the range never
+        match (used for padding).
+      vals: (B, N, C) float values; must be > -3e38.
+      n_pix: static number of pixels.
+
+    Returns:
+      vmax: (B, n_pix, C) f32 per-pixel max (-3.4e38 where empty).
+      amax: (B, n_pix, C) int32 winning point index (-1 where empty). Ties
+        go to the lowest point index.
+
+    Differentiable in `vals`: each pixel's cotangent flows to its stored
+    argmax point (exact one-winner max backward).
+    """
+    return _pixel_max_fwd_raw(pix, vals, n_pix)
+
+
+def _pixel_max_fwd(pix, vals, n_pix):
+    vmax, amax = _pixel_max_fwd_raw(pix, vals, n_pix)
+    token = jnp.zeros(vals.shape[:2] + (0,), vals.dtype)
+    return (vmax, amax), (amax, token)
+
+
+def _pixel_max_bwd(n_pix, res, cts):
+    amax, token = res
+    n, vdtype = token.shape[1], token.dtype
+    g, _ = cts  # amax is int-valued; its cotangent is zero
+    b, p2, c = g.shape
+    nc = min(1024, _round_up(n, _LANE))
+    npad = _round_up(n, nc)
+    p2p = _round_up(p2, 8)
+    if p2p != p2:
+        amax = jnp.pad(amax, ((0, 0), (0, p2p - p2), (0, 0)), constant_values=-1)
+        g = jnp.pad(g, ((0, 0), (0, p2p - p2), (0, 0)))
+
+    dv = pl.pallas_call(
+        _pixel_max_bwd_kernel(c),
+        grid=(b, npad // nc),
+        in_specs=[
+            pl.BlockSpec((1, p2p, c), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, p2p, c), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, c, nc), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, c, npad), jnp.float32),
+        interpret=jax.default_backend() != "tpu",
+    )(amax, g.astype(jnp.float32))
+    dvals = jnp.swapaxes(dv, 1, 2)[:, :n].astype(vdtype)
+    return None, dvals
+
+
+pixel_max_pallas.defvjp(_pixel_max_fwd, _pixel_max_bwd)

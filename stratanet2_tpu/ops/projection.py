@@ -42,6 +42,10 @@ def _pixel_bins_minmax(xy: jax.Array, diam_pix: int) -> jax.Array:
     return b[:, 0] * diam_pix + b[:, 1]
 
 
+def _use_pixel_max_kernel() -> bool:
+    return jax.default_backend() == "tpu"
+
+
 @functools.partial(jax.jit, static_argnames=("diam_pix",))
 def plotwise_coverages(
     coverages_pointwise: jax.Array, xy: jax.Array, diam_pix: int
@@ -58,6 +62,30 @@ def plotwise_coverages(
       (B, 4) plot coverages: mean over occupied pixels of
       [max low_veg, 1 - max low_veg, max med_veg, max high_veg].
     """
+    if _use_pixel_max_kernel():
+        # VMEM-resident per-pixel max with exact one-winner VJP — the dense
+        # masked-max below costs ~6.3 ms fwd+bwd per PROD train step in HBM
+        # round-trips; the kernel is <1 ms (see docs/KERNELS.md).
+        from stratanet2_tpu.ops.pallas_kernels import pixel_max_pallas
+
+        n_seg = diam_pix * diam_pix
+        pix = jax.vmap(lambda a: _pixel_bins_minmax(a, diam_pix))(xy)
+        # only strata [low, med, high] are consumed — the bare-soil pixel is
+        # derived as 1 - low (model/project_to_2d.py:42), so channel 1 never
+        # needs a per-pixel max (25% less kernel work)
+        cov3 = jnp.stack(
+            [coverages_pointwise[..., 0], coverages_pointwise[..., 2],
+             coverages_pointwise[..., 3]], axis=-1)
+        vmax, amax = pixel_max_pallas(pix, cov3, n_seg)
+        occ = amax[..., 0] >= 0  # (B, P^2)
+        pm = jnp.where(occ[..., None], vmax, 0.0)
+        n_occ = jnp.maximum(jnp.sum(occ.astype(jnp.float32), axis=1), 1.0)
+        low, med, high = pm[..., 0], pm[..., 1], pm[..., 2]
+        bare = jnp.where(occ, 1.0 - low, 0.0)
+        sums = jnp.stack(
+            [low.sum(1), bare.sum(1), med.sum(1), high.sum(1)], axis=1
+        )
+        return sums / n_occ[:, None]
 
     def one(cov, xy1):
         pix = _pixel_bins_minmax(xy1, diam_pix)
@@ -86,6 +114,36 @@ def plotwise_coverages(
     return jax.vmap(one)(coverages_pointwise, xy)
 
 
+def _raster_bins(
+    xy_rescaled: jax.Array, diam_pix: int, diam_meters: int
+) -> jax.Array:
+    """Absolute-coordinate binning (model/project_to_2d.py:68-78):
+    (..., 2) rescaled xy -> (...,) flat pixel ids pix = row*P + col."""
+    sf = 10.0 * diam_pix / diam_meters
+    b = jnp.floor((xy_rescaled + 1e-4) * sf + diam_meters // 2).astype(jnp.int32)
+    b = jnp.clip(b, 0, diam_pix - 1)
+    # column (x) = b[..., 0], row (y) = b[..., 1] — reference :103 writes [m, k]
+    return b[..., 1] * diam_pix + b[..., 0]
+
+
+def _raster_from_pixmax(
+    pix: jax.Array, coverages_pointwise: jax.Array, diam_pix: int
+) -> jax.Array:
+    """(B, N) bins + (B, N, 4) coverages -> (B, 3, P, P) NaN-empty, y-flipped
+    rasters via the VMEM pixel-max kernel."""
+    from stratanet2_tpu.ops.pallas_kernels import pixel_max_pallas
+
+    n_seg = diam_pix * diam_pix
+    cov3 = jnp.stack(
+        [coverages_pointwise[..., 0], coverages_pointwise[..., 2],
+         coverages_pointwise[..., 3]], axis=-1)  # only [low, med, high] used
+    vmax, amax = pixel_max_pallas(pix, cov3, n_seg)
+    occ = amax[..., :1] >= 0  # (B, P^2, 1)
+    sel = jnp.where(occ, vmax, jnp.nan)  # (B, P^2, 3)
+    rasters = jnp.swapaxes(sel, 1, 2).reshape(-1, 3, diam_pix, diam_pix)
+    return rasters[:, :, ::-1, :]  # y-flip
+
+
 @functools.partial(jax.jit, static_argnames=("diam_pix", "diam_meters"))
 def raster_projection(
     xy_rescaled: jax.Array,
@@ -106,12 +164,10 @@ def raster_projection(
       point projects; y-flipped so row 0 is the northernmost row
       (model/project_to_2d.py:108-110).
     """
-    sf = 10.0 * diam_pix / diam_meters
-    b = jnp.floor((xy_rescaled + 1e-4) * sf + diam_meters // 2).astype(jnp.int32)
-    b = jnp.clip(b, 0, diam_pix - 1)
-    k, m = b[:, 0], b[:, 1]  # column (x), row (y) — reference :103 writes [m, k]
-    pix = m * diam_pix + k
+    pix = _raster_bins(xy_rescaled, diam_pix, diam_meters)
     n_seg = diam_pix * diam_pix
+    if _use_pixel_max_kernel():
+        return _raster_from_pixmax(pix[None], coverages_pointwise[None], diam_pix)[0]
     pix_max = jax.ops.segment_max(
         coverages_pointwise, pix, num_segments=n_seg
     )  # (P^2, 4)
@@ -136,6 +192,9 @@ def batched_raster_projection(
     diam_meters: int,
 ) -> jax.Array:
     """(B, N, 2), (B, N, 4) -> (B, 3, P, P) rasters."""
+    if _use_pixel_max_kernel():
+        pix = _raster_bins(xy_rescaled, diam_pix, diam_meters)
+        return _raster_from_pixmax(pix, coverages_pointwise, diam_pix)
     return jax.vmap(
         lambda xy, cov: raster_projection(xy, cov, diam_pix, diam_meters)
     )(xy_rescaled, coverages_pointwise)

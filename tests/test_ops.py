@@ -327,3 +327,85 @@ class TestGradientEquality:
                 float(jnp.sum(jnp.abs(x))) for x in jax.tree_util.tree_leaves(sub)
             )
             assert total > 0, f"zero gradient for {name}"
+
+
+class TestPixelMaxKernel:
+    """The VMEM pixel-max kernel (ops/pallas_kernels.pixel_max_pallas) that
+    carries the projection ops on TPU, exercised in interpret mode: exact
+    forward (max + winning index) vs a numpy scatter-max oracle, and
+    gradient equality vs the dense masked-max formulation it replaces."""
+
+    def test_matches_scatter_max_oracle(self, rng):
+        from stratanet2_tpu.ops.pallas_kernels import pixel_max_pallas
+
+        b, n, c, p2 = 3, 700, 4, 400
+        pix = rng.integers(0, p2, (b, n)).astype(np.int32)
+        vals = rng.uniform(0, 1, (b, n, c)).astype(np.float32)
+        vmax, amax = pixel_max_pallas(jnp.asarray(pix), jnp.asarray(vals), p2)
+        vm = np.full((b, p2, c), -3.4e38, np.float32)
+        am = np.full((b, p2, c), -1, np.int64)
+        for bb in range(b):
+            for i in range(n):
+                for ch in range(c):
+                    if vals[bb, i, ch] > vm[bb, pix[bb, i], ch]:
+                        vm[bb, pix[bb, i], ch] = vals[bb, i, ch]
+                        am[bb, pix[bb, i], ch] = i
+        np.testing.assert_array_equal(np.asarray(vmax), vm)
+        np.testing.assert_array_equal(np.asarray(amax), am)
+
+    @pytest.mark.parametrize("n", [5, 127, 1025])
+    def test_odd_sizes(self, rng, n):
+        from stratanet2_tpu.ops.pallas_kernels import pixel_max_pallas
+
+        pix = rng.integers(0, 9, (2, n)).astype(np.int32)
+        vals = rng.uniform(0, 1, (2, n, 3)).astype(np.float32)
+        vmax, _ = pixel_max_pallas(jnp.asarray(pix), jnp.asarray(vals), 9)
+        vm = np.full((2, 9, 3), -3.4e38, np.float32)
+        for bb in range(2):
+            for i in range(n):
+                vm[bb, pix[bb, i]] = np.maximum(vm[bb, pix[bb, i]], vals[bb, i])
+        np.testing.assert_array_equal(np.asarray(vmax), vm)
+
+    def test_grad_matches_dense_masked_max(self, rng):
+        from stratanet2_tpu.ops.pallas_kernels import pixel_max_pallas
+
+        b, n, c, p2 = 2, 300, 4, 100
+        pix = jnp.asarray(rng.integers(0, p2, (b, n)).astype(np.int32))
+        vals = jnp.asarray(rng.uniform(0, 1, (b, n, c)).astype(np.float32))
+        w = jnp.asarray(rng.uniform(-1, 1, (b, p2, c)).astype(np.float32))
+
+        def f_pallas(v):
+            vmax, amax = pixel_max_pallas(pix, v, p2)
+            return jnp.sum(jnp.where(amax >= 0, vmax, 0.0) * w)
+
+        def f_dense(v):
+            seg = jnp.arange(p2, dtype=jnp.int32)
+            mask = pix[:, None, :] == seg[None, :, None]
+            e = jnp.where(mask[..., None], v[:, None], -3.4e38)
+            vmax = jnp.max(e, axis=2)
+            occ = jnp.any(mask, axis=2)
+            return jnp.sum(jnp.where(occ[..., None], vmax, 0.0) * w)
+
+        np.testing.assert_allclose(float(f_pallas(vals)), float(f_dense(vals)), rtol=1e-6)
+        g1, g2 = jax.grad(f_pallas)(vals), jax.grad(f_dense)(vals)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-6, atol=1e-7)
+
+    def test_projection_kernel_paths_match_default(self, rng, monkeypatch):
+        """Force the TPU kernel gate on (interpret mode on CPU) and pin both
+        public projection ops against their default XLA paths."""
+        from stratanet2_tpu.ops import projection as proj
+
+        n, p = 611, 20  # unique shape -> fresh jit trace under the patch
+        cov = jnp.asarray(rng.uniform(size=(2, n, 4)).astype(np.float32))
+        xy = jnp.asarray(rng.uniform(-1, 1, size=(2, n, 2)).astype(np.float32))
+        want_pl = np.asarray(plotwise_coverages(cov, xy, p))
+        want_ra = np.asarray(
+            proj.batched_raster_projection(xy * 0.9, cov, p, 20)
+        )
+        monkeypatch.setattr(proj, "_use_pixel_max_kernel", lambda: True)
+        got_pl = np.asarray(proj.plotwise_coverages.__wrapped__(cov, xy, p))
+        got_ra = np.asarray(
+            proj.batched_raster_projection.__wrapped__(xy * 0.9, cov, p, 20)
+        )
+        np.testing.assert_allclose(got_pl, want_pl, rtol=1e-6, atol=1e-7)
+        np.testing.assert_allclose(got_ra, want_ra, rtol=1e-6, atol=1e-7)
