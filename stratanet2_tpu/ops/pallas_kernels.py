@@ -185,6 +185,7 @@ def fps_pallas_batched(
 
     out = pl.pallas_call(
         _fps_kernel(n_samples, n),
+        name="fps",
         out_shape=jax.ShapeDtypeStruct((n_samples, b), jnp.int32),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -220,10 +221,19 @@ def _knn_kernel(k: int, s_valid: int):
         # f32 norms; feat_ref: (1, S, F)
         # out_ref: (1, TC, F); idx_ref/w_ref: (1, TC, k)
         #
-        # (A selection-only variant with the feature gather moved outside to
-        # an XLA row gather measured SLOWER — FP1 fwd 7.6 -> 9.5 ms at the
-        # PROD geometry: the (B,T,k,F) HBM materialization costs more than
-        # these in-VMEM one-hot matmuls.)
+        # Measured dead ends for the gather matmul (PROD/bench geometry):
+        # - selection-only kernel + external XLA row gather: FP1 7.6->9.5 ms
+        #   (the (B,T,k,F) HBM materialization costs more than these in-VMEM
+        #   one-hot matmuls);
+        # - hi/lo-bf16 split in THIS orientation: 7.6 -> 9.9 ms (the single
+        #   f32 dot already lowers to one MXU pass under
+        #   --xla_allow_excess_precision, so splitting doubles it);
+        # - TRANSPOSED sel^T = featsT (F,S) @ onehot^T (S,TC): Mosaic demotes
+        #   the f32 dot to ONE bf16 pass in that orientation (8e-3 errors),
+        #   and the exact hi/lo fix costs 2 small-M matmuls whose pipeline
+        #   fill erases the padding win (bench 16.3 -> 13.9 M pts/s).
+        # The scatter VJP (_knn_scatter_kernel) DOES win transposed — it is
+        # hi/lo bf16 in both orientations, so the F-padding saving is pure.
         tc = tgt_ref.shape[1]
         s = src9_ref.shape[2]
         tgt = tgt_ref[0]
@@ -233,9 +243,6 @@ def _knn_kernel(k: int, s_valid: int):
         col = jax.lax.broadcasted_iota(jnp.int32, (tc, s), 1)
         d2 = jnp.where(col < s_valid, d2, jnp.float32(3.4e38))
 
-        # (hi/lo-split bf16 gather matmuls also measured SLOWER — FP1 fwd
-        # 7.6 -> 9.9 ms: under --xla_allow_excess_precision the single f32
-        # dot already lowers to one MXU pass, so splitting doubles it)
         feats = feat_ref[0]  # (S, F)
         acc = jnp.zeros((tc, out_ref.shape[2]), jnp.float32)
         wsum = jnp.zeros((tc, 1), jnp.float32)
@@ -289,6 +296,7 @@ def _knn_pallas_raw(x_src, pos_src, pos_tgt, k: int, tc: int = 0):
 
     out, idx, w = pl.pallas_call(
         _knn_kernel(k, s),
+        name="knn_fwd",
         grid=(b, n_chunks),
         in_specs=[
             pl.BlockSpec((1, tc, 3), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
@@ -317,25 +325,31 @@ def _knn_pallas_raw(x_src, pos_src, pos_tgt, k: int, tc: int = 0):
 
 
 def _knn_scatter_kernel(k: int):
-    def kernel(idx_ref, w_ref, g_ref, out_ref):
-        # idx/w (1, TC, k); g (1, TC, F) cotangents; out (1, SP, F) f32,
-        # accumulated across target-chunk grid steps (sequential grid).
+    def kernel(idx_ref, w_ref, gt_ref, out_ref):
+        # idx/w (1, TC, k); gt (1, F, TC) TRANSPOSED cotangents;
+        # out (1, F, SP) f32, accumulated across target-chunk grid steps.
+        #
+        # The matmuls run TRANSPOSED — dx^T (F, SP) = wg^T (F, TC) @ onehot
+        # (TC, SP) — so the small feature count rides the M (sublane) dim,
+        # padded to 8, instead of the N (lane) dim, padded to 128: at F=16/34
+        # the untransposed form wastes 4-8x of the MXU (measured 11.2 ms of
+        # scatter per PROD train step, the single largest item in the step
+        # trace).
         tc = idx_ref.shape[1]
-        spad = out_ref.shape[1]
-        f = g_ref.shape[2]
+        spad = out_ref.shape[2]
         cols = jax.lax.broadcasted_iota(jnp.int32, (tc, spad), 1)
-        gv = g_ref[0]  # (TC, F)
-        acc = jnp.zeros((spad, f), jnp.float32)
-        dn = (((0,), (0,)), ((), ()))  # contract over TC
+        gt = gt_ref[0]  # (F, TC)
+        acc = jnp.zeros((out_ref.shape[1], spad), jnp.float32)
+        dn = (((1,), (0,)), ((), ()))  # (F, TC) @ (TC, SP)
         for j in range(k):
             onehot = (cols == idx_ref[0, :, j][:, None]).astype(jnp.bfloat16)
-            wg = gv * w_ref[0, :, j][:, None]  # (TC, F) f32
+            wg = gt * w_ref[0, :, j][None, :]  # (F, TC) f32
             hi = wg.astype(jnp.bfloat16)
             lo = (wg - hi.astype(jnp.float32)).astype(jnp.bfloat16)
             acc = acc + jax.lax.dot_general(
-                onehot, hi, dn, preferred_element_type=jnp.float32
+                hi, onehot, dn, preferred_element_type=jnp.float32
             ) + jax.lax.dot_general(
-                onehot, lo, dn, preferred_element_type=jnp.float32
+                lo, onehot, dn, preferred_element_type=jnp.float32
             )
 
         jc = pl.program_id(1)
@@ -368,23 +382,25 @@ def _knn_scatter_pallas(idx, w, g, s: int):
         idx = jnp.pad(idx, ((0, 0), (0, tpad - t), (0, 0)))
         w = jnp.pad(w, ((0, 0), (0, tpad - t), (0, 0)))
         g = jnp.pad(g, ((0, 0), (0, tpad - t), (0, 0)))  # zero cotangents
-    spad = _round_up(s, 8)
+    spad = _round_up(s, _LANE)
+    gt = jnp.swapaxes(g.astype(jnp.float32), 1, 2)  # (B, F, Tpad)
 
     out = pl.pallas_call(
         _knn_scatter_kernel(k),
+        name="knn_scatter_bwd",
         grid=(b, tpad // tc),
         in_specs=[
             pl.BlockSpec((1, tc, k), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tc, k), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tc, f), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, f, tc), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, spad, f), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM
+            (1, f, spad), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((b, spad, f), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, f, spad), jnp.float32),
         interpret=jax.default_backend() != "tpu",
-    )(idx, w.astype(jnp.float32), g.astype(jnp.float32))
-    return out[:, :s]
+    )(idx, w.astype(jnp.float32), gt)
+    return jnp.swapaxes(out, 1, 2)[:, :s]
 
 
 def scatter_add_pallas(idx: jax.Array, vals: jax.Array, n: int) -> jax.Array:
@@ -620,6 +636,7 @@ def ball_query_grouped_pallas(
 
     idx, mask = pl.pallas_call(
         _bq_kernel(k, g_real, n, float(radius) ** 2, blk),
+        name="ball_query",
         grid=(b, cpad // cc),
         in_specs=[
             pl.BlockSpec((1, cc, 3), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
@@ -766,6 +783,7 @@ def sa_fused_eval(
 
     out = pl.pallas_call(
         _sa_kernel(k, g_real, n, float(radius) ** 2, two_layer, blk),
+        name="sa_fused",
         grid=(b, cpad // cc),
         in_specs=[
             pl.BlockSpec((1, cc, 3), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
@@ -884,6 +902,7 @@ def _pixel_max_fwd_raw(pix: jax.Array, vals: jax.Array, n_pix: int):
 
     vmax, amax = pl.pallas_call(
         _pixel_max_kernel(n_pix, c, nc, p2p),
+        name="pixel_max_fwd",
         grid=(b,),
         in_specs=[
             pl.BlockSpec((1, 1, npad), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
@@ -948,6 +967,7 @@ def _pixel_max_bwd(n_pix, res, cts):
 
     dv = pl.pallas_call(
         _pixel_max_bwd_kernel(c),
+        name="pixel_max_bwd",
         grid=(b, npad // nc),
         in_specs=[
             pl.BlockSpec((1, p2p, c), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
