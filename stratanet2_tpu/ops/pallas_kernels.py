@@ -267,8 +267,12 @@ def _knn_kernel(k: int, s_valid: int):
             if j < k - 1:
                 d2 = jnp.where(onehot > 0, jnp.float32(3.4e38), d2)
         out_ref[0] = acc / wsum
-        idx_ref[0] = jnp.stack(idxs, axis=-1)
-        w_ref[0] = jnp.stack(ws, axis=-1) / wsum
+        # idx/w ride a (k, TC) layout: a (TC, k) block would put k on the
+        # 128-lane tile dim, inflating the HBM array ~40x and dragging
+        # multi-ms pad/broadcast/copy ops into the VJP (seen in the step
+        # trace as s32[20,40448,1]-style data formatting).
+        idx_ref[0] = jnp.stack(idxs, axis=0)
+        w_ref[0] = jnp.stack(ws, axis=0) / wsum[:, 0][None, :]
 
     return kernel
 
@@ -306,13 +310,13 @@ def _knn_pallas_raw(x_src, pos_src, pos_tgt, k: int, tc: int = 0):
         ],
         out_specs=(
             pl.BlockSpec((1, tc, f), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tc, k), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tc, k), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k, tc), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k, tc), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((b, tpad, f), jnp.float32),
-            jax.ShapeDtypeStruct((b, tpad, k), jnp.int32),
-            jax.ShapeDtypeStruct((b, tpad, k), jnp.float32),
+            jax.ShapeDtypeStruct((b, k, tpad), jnp.int32),
+            jax.ShapeDtypeStruct((b, k, tpad), jnp.float32),
         ),
         interpret=jax.default_backend() != "tpu",
     )(
@@ -321,13 +325,15 @@ def _knn_pallas_raw(x_src, pos_src, pos_tgt, k: int, tc: int = 0):
         sn,
         x_src.astype(jnp.float32),
     )
-    return out[:, :t], idx[:, :t], w[:, :t]
+    # idx/w stay in their (B, k, T) layout — consumed only by the scatter VJP
+    return out[:, :t], idx[:, :, :t], w[:, :, :t]
 
 
 def _knn_scatter_kernel(k: int):
     def kernel(idx_ref, w_ref, gt_ref, out_ref):
-        # idx/w (1, TC, k); gt (1, F, TC) TRANSPOSED cotangents;
-        # out (1, F, SP) f32, accumulated across target-chunk grid steps.
+        # idx/w (1, k, TC) (k on sublanes, see _knn_kernel); gt (1, F, TC)
+        # TRANSPOSED cotangents; out (1, F, SP) f32, accumulated across
+        # target-chunk grid steps.
         #
         # The matmuls run TRANSPOSED — dx^T (F, SP) = wg^T (F, TC) @ onehot
         # (TC, SP) — so the small feature count rides the M (sublane) dim,
@@ -335,15 +341,15 @@ def _knn_scatter_kernel(k: int):
         # the untransposed form wastes 4-8x of the MXU (measured 11.2 ms of
         # scatter per PROD train step, the single largest item in the step
         # trace).
-        tc = idx_ref.shape[1]
+        tc = idx_ref.shape[2]
         spad = out_ref.shape[2]
         cols = jax.lax.broadcasted_iota(jnp.int32, (tc, spad), 1)
         gt = gt_ref[0]  # (F, TC)
         acc = jnp.zeros((out_ref.shape[1], spad), jnp.float32)
         dn = (((1,), (0,)), ((), ()))  # (F, TC) @ (TC, SP)
         for j in range(k):
-            onehot = (cols == idx_ref[0, :, j][:, None]).astype(jnp.bfloat16)
-            wg = gt * w_ref[0, :, j][None, :]  # (F, TC) f32
+            onehot = (cols == idx_ref[0, j, :][:, None]).astype(jnp.bfloat16)
+            wg = gt * w_ref[0, j, :][None, :]  # (F, TC) f32
             hi = wg.astype(jnp.bfloat16)
             lo = (wg - hi.astype(jnp.float32)).astype(jnp.bfloat16)
             acc = acc + jax.lax.dot_general(
@@ -373,14 +379,14 @@ def _knn_scatter_pallas(idx, w, g, s: int):
     accumulates via MXU matmuls (~1 ms). Cotangents ride hi/lo-split bf16
     matmuls, f32-exact to lo rounding (~2^-17 relative).
     """
-    b, t, k = idx.shape
+    b, k, t = idx.shape
     f = g.shape[2]
     tc = max(128, min(512, _round_up(t, 128) // max(1, t // 512)))
     tc = min(tc, _round_up(t, 8))
     tpad = _round_up(t, tc)
     if tpad != t:
-        idx = jnp.pad(idx, ((0, 0), (0, tpad - t), (0, 0)))
-        w = jnp.pad(w, ((0, 0), (0, tpad - t), (0, 0)))
+        idx = jnp.pad(idx, ((0, 0), (0, 0), (0, tpad - t)))
+        w = jnp.pad(w, ((0, 0), (0, 0), (0, tpad - t)))
         g = jnp.pad(g, ((0, 0), (0, tpad - t), (0, 0)))  # zero cotangents
     spad = _round_up(s, _LANE)
     gt = jnp.swapaxes(g.astype(jnp.float32), 1, 2)  # (B, F, Tpad)
@@ -390,8 +396,8 @@ def _knn_scatter_pallas(idx, w, g, s: int):
         name="knn_scatter_bwd",
         grid=(b, tpad // tc),
         in_specs=[
-            pl.BlockSpec((1, tc, k), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tc, k), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k, tc), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k, tc), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, f, tc), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
@@ -410,7 +416,7 @@ def scatter_add_pallas(idx: jax.Array, vals: jax.Array, n: int) -> jax.Array:
     gathers (`gather_rows`) and exercised by the kNN VJP."""
     b, m = idx.shape
     return _knn_scatter_pallas(
-        idx[..., None], jnp.ones((b, m, 1), jnp.float32), vals, n
+        idx[:, None, :], jnp.ones((b, 1, m), jnp.float32), vals, n
     )
 
 
