@@ -60,17 +60,23 @@ def batchnorm(
     variance stored unbiased, momentum 0.1 (torch BatchNorm1d defaults).
     """
     if train:
+        # sum/sum-of-squares in ONE traversal (var = E[x^2] - E[x]^2) — the
+        # centered two-pass form reads the 100-200 MB edge tensors twice
+        # (mean pass, then var pass) since var depends on mean. Cancellation
+        # is benign here: post-ReLU activations have var ~ mean^2, and the
+        # TPU's tree reductions keep the f32 sums to ~1e-6 relative.
         xf = x.astype(jnp.float32)
+        axes = tuple(range(xf.ndim - 1))
         if mask is None:
             n = jnp.float32(xf.size // xf.shape[-1])
-            mean = jnp.mean(xf, axis=tuple(range(xf.ndim - 1)))
-            var = jnp.mean((xf - mean) ** 2, axis=tuple(range(xf.ndim - 1)))
+            mean = jnp.sum(xf, axis=axes) / n
+            sq = jnp.sum(xf * xf, axis=axes) / n
         else:
             m = mask.astype(jnp.float32)[..., None]
             n = jnp.maximum(jnp.sum(m), 1.0)
-            axes = tuple(range(xf.ndim - 1))
             mean = jnp.sum(xf * m, axis=axes) / n
-            var = jnp.sum(((xf - mean) ** 2) * m, axis=axes) / n
+            sq = jnp.sum(xf * xf * m, axis=axes) / n
+        var = jnp.maximum(sq - mean * mean, 0.0)
         unbiased = var * n / jnp.maximum(n - 1.0, 1.0)
         new_s = {
             "mean": (1 - BN_MOMENTUM) * s["mean"] + BN_MOMENTUM * mean,

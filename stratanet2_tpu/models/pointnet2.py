@@ -178,9 +178,18 @@ def _sa_module(
             new_layer_states.append(ns2)
         new_s = {"layers": new_layer_states}
     else:
-        x_j = _gather(x, nbr_idx)  # (B, C, K, F)
-        rel = _gather(pos, nbr_idx) - centroids[:, :, None, :]  # (B, C, K, 3)
-        h = jnp.concatenate([x_j, rel.astype(x_j.dtype)], axis=-1)
+        # ONE gather of the concatenated [x | pos] per-point table instead of
+        # two (x_j and rel separately): the random-row gathers are
+        # DMA-amplification-bound, and the merged 44-byte rows cost about the
+        # same as the 32-byte x rows alone (step trace: the two separate
+        # gathers were 2.5 + 2.1 ms at PROD). The centroid subtraction rides
+        # a zero-padded offset so [x_j, rel] needs no re-concat.
+        f = x.shape[-1]
+        both = _gather(
+            jnp.concatenate([x, pos.astype(x.dtype)], axis=-1), nbr_idx
+        )  # (B, C, K, F+3)
+        offset = jnp.pad(centroids.astype(both.dtype), ((0, 0), (0, 0), (f, 0)))
+        h = both - offset[:, :, None, :]
         h, new_s = nn.mlp(
             p, s, h, mask=nbr_mask, train=train, compute_dtype=compute_dtype
         )

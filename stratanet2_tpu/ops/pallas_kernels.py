@@ -249,7 +249,9 @@ def _knn_kernel(k: int, s_valid: int):
         ws, idxs = [], []
         # (packed min+argmin measured SLOWER here than plain min+argmin,
         # unlike the ball-query kernels — the int key rebuild per exclusion
-        # costs more than the argmin it saves at this tile shape)
+        # costs more than the argmin it saves at this tile shape;
+        # a fori_loop over the k selections with the (TC, S) distance tile
+        # as a carry also measured 2x SLOWER than this unroll)
         for j in range(k):
             dmin = jnp.min(d2, axis=1)
             idx = jnp.argmin(d2, axis=1).astype(jnp.int32)
