@@ -129,9 +129,10 @@ def _min_argmin_packed(d2: jax.Array, nbits: int):
 
 def _fps_kernel(n_samples: int, n_valid: int):
     def kernel(start_ref, xyz_ref, out_ref, dist_ref):
-        # xyz_ref: (B, 3, Np) VMEM; start_ref: (B, 1) VMEM int32
+        # xyz_ref: (3, B, Np) VMEM f32 (coordinate planes leading);
+        # start_ref: (B, 1) VMEM int32
         # out_ref: (n_samples, B) int32 VMEM; dist_ref: (B, Np) f32 scratch
-        b, _, npad = xyz_ref.shape
+        _, b, npad = xyz_ref.shape
         col = jax.lax.broadcasted_iota(jnp.int32, (b, npad), dimension=1)
         valid = col < n_valid
 
@@ -140,17 +141,21 @@ def _fps_kernel(n_samples: int, n_valid: int):
 
         start = start_ref[:, 0]  # (B,)
         out_ref[0, :] = start
+        v = xyz_ref[:, :, :]  # (3, B, Np)
 
         def body(i, last):
-            # last: (B,) int32 indices of the most recent selection
+            # last: (B,) int32 indices of the most recent selection.
+            # Extraction of the selected coordinates runs as ONE masked
+            # reduction over the (3, B, Np) coordinate planes instead of
+            # three separate (B, Np) sums (the reduction launches dominated
+            # the extraction cost; a stacked (3B, Np) 2-D form hit Mosaic's
+            # "input offsets outside of the first tile" on sublane slices at
+            # some batch sizes — static plane indexing avoids it).
             onehot = (col == last[:, None]).astype(jnp.float32)  # (B, Np)
-            x = xyz_ref[:, 0, :]
-            y = xyz_ref[:, 1, :]
-            z = xyz_ref[:, 2, :]
-            sx = jnp.sum(x * onehot, axis=1, keepdims=True)
-            sy = jnp.sum(y * onehot, axis=1, keepdims=True)
-            sz = jnp.sum(z * onehot, axis=1, keepdims=True)
-            d2 = (x - sx) ** 2 + (y - sy) ** 2 + (z - sz) ** 2
+            s3 = jnp.sum(v * onehot[None], axis=2, keepdims=True)  # (3, B, 1)
+            dv = v - s3
+            dsq = dv * dv
+            d2 = dsq[0] + dsq[1] + dsq[2]
             cache = jnp.minimum(dist_ref[:, :], jnp.where(valid, d2, -1.0))
             dist_ref[:, :] = cache
             nxt = jnp.argmax(cache, axis=1).astype(jnp.int32)  # (B,)
@@ -181,6 +186,9 @@ def fps_pallas_batched(
     xt = jnp.swapaxes(xyz.astype(jnp.float32), 1, 2)  # (B, 3, N)
     if npad != n:
         xt = jnp.pad(xt, ((0, 0), (0, 0), (0, npad - n)))
+    # coordinate planes leading: (3, B, Np) so the kernel's coordinate
+    # extraction is one wide reduction with static plane indexing
+    x3 = jnp.swapaxes(xt, 0, 1)
     start = start_idx.astype(jnp.int32).reshape(b, 1)
 
     out = pl.pallas_call(
@@ -194,7 +202,7 @@ def fps_pallas_batched(
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((b, npad), jnp.float32)],
         interpret=jax.default_backend() != "tpu",
-    )(start, xt)
+    )(start, x3)
     return out.T
 
 
