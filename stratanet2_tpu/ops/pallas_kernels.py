@@ -692,28 +692,48 @@ def ball_query_grouped_pallas(
 
 
 def _sa_kernel(k: int, g_real: int, n_valid: int, r2: float, two_layer: bool, blk: int):
-    def kernel(cent_ref, cterm_ref, x9_ref, pn_ref, q_ref, aff_ref, w2_ref, out_ref):
-        # cent (1,CC,3) cterm (1,CC,C1); x9 (1,nb,9,blk*G) bf16 hi/lo rows;
-        # pn (1,nb,1,blk*G) f32 norms; q (1,nb,C1,blk*G) f32
+    def kernel(centt_ref, ctermt_ref, x9_ref, pn_ref, q_ref, aff_ref, w2t_ref, out_ref):
+        # centt (1,3,CC) TRANSPOSED centroids; ctermt (1,C1,CC) transposed
+        # centroid terms; x9 (1,nb,9,blk*G) bf16 hi/lo rows; pn
+        # (1,nb,1,blk*G) f32 norms; q (1,nb,C1,blk*G) f32
         # (channel-on-sublane / points-on-lane layout: the G axis sits on
-        #  lanes, so the small channel axes don't get padded to 128)
-        # aff (6, Cmax): rows a1,c1,b2,a2,c2,unused; w2 (C1,C2)
-        cc = cent_ref.shape[1]
+        # lanes so the small channel axes don't pad to 128)
+        # aff (6, Cmax): rows a1,c1,b2,a2,c2,unused; w2t (C2,C1) transposed
+        # out (1, C2, CC) transposed
+        #
+        # The WHOLE kernel runs in centroids-on-lanes orientation: distances
+        # are computed TRANSPOSED (G, CC), so the per-group argmin reduces
+        # over sublanes and its result is a lane vector — the one-hot for the
+        # q gather and the validity mask then build with no sublane<->lane
+        # relayouts (a (CC,)-sublane-major idx broadcast across a (G, CC)
+        # tile materialized ~4 MB per group and blew scoped VMEM). The q
+        # gather matmul is sel^T (C1, CC) = q (C1, G) @ onehot^T (G, CC):
+        # C1=16 rides the 8-padded M dim instead of the 128-padded N dim
+        # (8x less MXU work), and the affine/relu/max epilogue touches 4x
+        # fewer vregs ((16, CC) tiles vs (CC, 128-padded-16)).
+        cc = centt_ref.shape[2]
         g = x9_ref.shape[3] // blk
         c1 = q_ref.shape[2]
-        c2 = out_ref.shape[2]
-        cent = cent_ref[0]  # (CC, 3)
-        cterm = cterm_ref[0]
-        cn = jnp.sum(cent * cent, axis=1, keepdims=True)
-        c9 = _hilo9_cols(cent)
-        a1 = aff_ref[0, :c1][None, :]
-        c1v = aff_ref[1, :c1][None, :]
-        col = jax.lax.broadcasted_iota(jnp.int32, (cc, g), 1)
+        c2 = out_ref.shape[1]
+        c3 = centt_ref[0]  # (3, CC) f32
+        ctermt = ctermt_ref[0]  # (C1, CC)
+        cn = jnp.sum(c3 * c3, axis=0, keepdims=True)  # (1, CC)
+        hi = c3.astype(jnp.bfloat16)
+        lo = (c3 - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        c9t = jnp.concatenate([hi, lo, hi], axis=0)  # (9, CC), pairs x9 rows
+        a1 = aff_ref[0, :c1][:, None]
+        c1v = aff_ref[1, :c1][:, None]
+        rowg = jax.lax.broadcasted_iota(jnp.int32, (g, 1), 0)
+        rowg2 = jax.lax.broadcasted_iota(jnp.int32, (g, cc), 0)
         packed = _use_packed(g)
         nbits = max(1, (g - 1).bit_length())
+        low = (1 << nbits) - 1
+        dn_ab = (((0,), (0,)), ((), ()))  # x9s (9, G) . c9t (9, CC) -> (G, CC)
+        dn_gather = (((1,), (0,)), ((), ()))  # (C1, G) @ (G, CC)
 
         def body(bi, maxacc):
-            d2b = _mxu_dist2_hilo(c9, cn, x9_ref[0, bi], pn_ref[0, bi])
+            x9b = x9_ref[0, bi]  # (9, blk*G) bf16
+            pnb = pn_ref[0, bi]  # (1, blk*G) f32
             qb = q_ref[0, bi]  # (C1, blk*G) f32
             # hi/lo split so the one-hot gather runs as two single-pass bf16
             # matmuls while returning the q values f32-exact (to lo rounding,
@@ -723,34 +743,44 @@ def _sa_kernel(k: int, g_real: int, n_valid: int, r2: float, two_layer: bool, bl
             for l in range(blk):
                 gi = bi * blk + l
                 sl = slice(l * g, (l + 1) * g)
-                d2 = d2b[:, sl]
-                pad = (col >= g_real) | ((gi * g_real + col) >= n_valid)
+                ab_t = jax.lax.dot_general(
+                    x9b[:, sl], c9t, dn_ab, preferred_element_type=jnp.float32
+                )  # (G, CC) cross terms
+                xn_col = jnp.swapaxes(pnb[:, sl], 0, 1)  # (G, 1)
+                d2 = jnp.maximum(xn_col + cn - 2.0 * ab_t, 0.0)  # (G, CC)
+                pad = (rowg >= g_real) | ((gi * g_real + rowg) >= n_valid)
                 d2 = jnp.where(pad, jnp.float32(3.4e38), d2)
                 if packed:
-                    dmin, idx = _min_argmin_packed(d2, nbits)
+                    key = (
+                        jax.lax.bitcast_convert_type(d2, jnp.int32) & ~low
+                    ) | rowg2
+                    kmin = jnp.min(key, axis=0, keepdims=True)
+                    idx = kmin & low  # (1, CC)
+                    dmin = jax.lax.bitcast_convert_type(kmin & ~low, jnp.float32)
                 else:
-                    dmin = jnp.min(d2, axis=1)
-                    idx = jnp.argmin(d2, axis=1).astype(jnp.int32)
-                valid = dmin <= r2
-                onehot = (col == idx[:, None]).astype(jnp.bfloat16)
-                dn = (((1,), (1,)), ((), ()))  # contract over G
+                    dmin = jnp.min(d2, axis=0, keepdims=True)
+                    idx = jnp.argmin(d2, axis=0).astype(jnp.int32)[None, :]
+                valid = dmin <= r2  # (1, CC)
+                onehot_t = (rowg2 == idx).astype(jnp.bfloat16)  # (G, CC)
                 sel = jax.lax.dot_general(
-                    onehot, qhi[:, sl], dn, preferred_element_type=jnp.float32
+                    qhi[:, sl], onehot_t, dn_gather,
+                    preferred_element_type=jnp.float32,
                 ) + jax.lax.dot_general(
-                    onehot, qlo[:, sl], dn, preferred_element_type=jnp.float32
-                )  # (CC, C1)
-                e = jax.nn.relu(sel - cterm) * a1 + c1v
+                    qlo[:, sl], onehot_t, dn_gather,
+                    preferred_element_type=jnp.float32,
+                )  # (C1, CC)
+                e = jax.nn.relu(sel - ctermt) * a1 + c1v
                 if two_layer:
-                    b2 = aff_ref[2, :c2][None, :]
-                    a2 = aff_ref[3, :c2][None, :]
-                    c2v = aff_ref[4, :c2][None, :]
-                    e = jnp.dot(e, w2_ref[:, :], preferred_element_type=jnp.float32)
+                    b2 = aff_ref[2, :c2][:, None]
+                    a2 = aff_ref[3, :c2][:, None]
+                    c2v = aff_ref[4, :c2][:, None]
+                    e = jnp.dot(w2t_ref[:, :], e, preferred_element_type=jnp.float32)
                     e = jax.nn.relu(e + b2) * a2 + c2v
-                e = jnp.where(valid[:, None], e, jnp.float32(-3.4e38))
+                e = jnp.where(valid, e, jnp.float32(-3.4e38))
                 maxacc = jnp.maximum(maxacc, e)
             return maxacc
 
-        init = jnp.full((cc, c2), -3.4e38, jnp.float32)
+        init = jnp.full((c2, cc), -3.4e38, jnp.float32)
         out_ref[0] = jax.lax.fori_loop(0, k // blk, body, init)
 
     return kernel
@@ -776,7 +806,12 @@ def sa_fused_eval(
     g_real = -(-n // k)
     g = _round_up(g_real, _LANE)
     cc = min(cc, c)
-    blk = _group_blocks(k, g, cc=cc, budget=6 * 2**20)
+    # blk capped at 4: the transposed epilogue's unrolled per-group
+    # temporaries tipped scoped VMEM over 16 MB at blk=8 (bench SA1 shape);
+    # blk only batches the d2 matmul, so the cap costs little
+    blk = min(4, _group_blocks(k, g, cc=cc, budget=6 * 2**20))
+    while k % blk:
+        blk -= 1
     nb = k // blk
     xb = _block_layout(xyz.astype(jnp.float32), k, blk, g_real, g)
     x9 = _hilo9_rows(xb)  # (B, nb, 9, blk*G) bf16
@@ -787,23 +822,25 @@ def sa_fused_eval(
     if cpad != c:
         centroids = jnp.pad(centroids, ((0, 0), (0, cpad - c), (0, 0)))
         cterm = jnp.pad(cterm, ((0, 0), (0, cpad - c), (0, 0)))
+    ctermt = jnp.swapaxes(cterm.astype(jnp.float32), 1, 2)  # (B, C1, Cpad)
+    centt = jnp.swapaxes(centroids.astype(jnp.float32), 1, 2)  # (B, 3, Cpad)
 
     cmax = max(ch1, ch2)
     aff = jnp.zeros((6, cmax), jnp.float32)
     aff = aff.at[0, :ch1].set(a1).at[1, :ch1].set(c1)
     if two_layer:
         aff = aff.at[2, :ch2].set(b2).at[3, :ch2].set(a2).at[4, :ch2].set(c2)
-        w2a = w2.astype(jnp.float32)
+        w2t = jnp.swapaxes(w2.astype(jnp.float32), 0, 1)  # (C2, C1)
     else:
-        w2a = jnp.zeros((ch1, ch1), jnp.float32)
+        w2t = jnp.zeros((ch1, ch1), jnp.float32)
 
-    out = pl.pallas_call(
+    outt = pl.pallas_call(
         _sa_kernel(k, g_real, n, float(radius) ** 2, two_layer, blk),
         name="sa_fused",
         grid=(b, cpad // cc),
         in_specs=[
-            pl.BlockSpec((1, cc, 3), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, cc, ch1), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, cc), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ch1, cc), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, nb, 9, blk * g), lambda i, j: (i, 0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, nb, 1, blk * g), lambda i, j: (i, 0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, nb, ch1, blk * g), lambda i, j: (i, 0, 0, 0), memory_space=pltpu.VMEM),
@@ -811,14 +848,14 @@ def sa_fused_eval(
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, cc, ch2), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
+            (1, ch2, cc), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((b, cpad, ch2), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, ch2, cpad), jnp.float32),
         interpret=jax.default_backend() != "tpu",
     )(
-        centroids.astype(jnp.float32), cterm.astype(jnp.float32), x9, pn, qg, aff, w2a
+        centt, ctermt, x9, pn, qg, aff, w2t
     )
-    return out[:, :c]
+    return jnp.swapaxes(outt, 1, 2)[:, :c]
 
 
 # ---------------------------------------------------------------------------
