@@ -224,65 +224,72 @@ def fps_pallas(xyz: jax.Array, n_samples: int, start_idx: jax.Array) -> jax.Arra
 
 
 def _knn_kernel(k: int, s_valid: int):
-    def kernel(tgt_ref, src9_ref, sn_ref, feat_ref, out_ref, idx_ref, w_ref):
-        # tgt_ref: (1, TC, 3); src9 (1, 9, S) bf16 hi/lo rows; sn (1, 1, S)
-        # f32 norms; feat_ref: (1, S, F)
-        # out_ref: (1, TC, F); idx_ref/w_ref: (1, TC, k)
+    def kernel(tgtt_ref, src9_ref, sn_ref, featt_ref, out_ref, idx_ref, w_ref):
+        # tgtt_ref: (1, 3, TC) TRANSPOSED targets; src9 (1, 9, S) bf16 hi/lo
+        # rows; sn (1, 1, S) f32 norms; featt_ref: (1, F, S) transposed
+        # out_ref: (1, F, TC) transposed; idx_ref/w_ref: (1, k, TC)
         #
-        # Measured dead ends for the gather matmul (PROD/bench geometry):
-        # - selection-only kernel + external XLA row gather: FP1 7.6->9.5 ms
-        #   (the (B,T,k,F) HBM materialization costs more than these in-VMEM
-        #   one-hot matmuls);
-        # - hi/lo-bf16 split in THIS orientation: 7.6 -> 9.9 ms (the single
-        #   f32 dot already lowers to one MXU pass under
-        #   --xla_allow_excess_precision, so splitting doubles it);
-        # - TRANSPOSED sel^T = featsT (F,S) @ onehot^T (S,TC): Mosaic demotes
-        #   the f32 dot to ONE bf16 pass in that orientation (8e-3 errors),
-        #   and the exact hi/lo fix costs 2 small-M matmuls whose pipeline
-        #   fill erases the padding win (bench 16.3 -> 13.9 M pts/s).
-        # The scatter VJP (_knn_scatter_kernel) DOES win transposed — it is
-        # hi/lo bf16 in both orientations, so the F-padding saving is pure.
-        tc = tgt_ref.shape[1]
+        # Fully transposed orientation (same playbook as _sa_kernel): the
+        # distance tile is (S, TC) via a dim-0-contracted dot of src9 (9, S)
+        # against the hi/lo split of the transposed targets, so each argmin
+        # reduces over sublanes and yields a lane-major index — the one-hot
+        # builds with no sublane<->lane relayout, and the gather matmul
+        # sel^T (F, TC) = featsT (F, S) @ onehot^T (S, TC) puts F=34/64 on
+        # the 8-padded M dim instead of the 128-padded N dim. (The earlier
+        # half-transposed attempt kept the (TC, S) argmin and paid a ~4 MB
+        # broadcast relayout per pass — that, not the small-M matmuls, is
+        # what made it slow.) Feature values ride explicit hi/lo bf16: in
+        # this orientation Mosaic demotes a single f32 dot to one bf16 pass.
+        tc = tgtt_ref.shape[2]
         s = src9_ref.shape[2]
-        tgt = tgt_ref[0]
-        tn = jnp.sum(tgt * tgt, axis=1, keepdims=True)
-        t9 = _hilo9_cols(tgt)
-        d2 = _mxu_dist2_hilo(t9, tn, src9_ref[0], sn_ref[0])
-        col = jax.lax.broadcasted_iota(jnp.int32, (tc, s), 1)
-        d2 = jnp.where(col < s_valid, d2, jnp.float32(3.4e38))
+        tgt3 = tgtt_ref[0]  # (3, TC) f32
+        tn = jnp.sum(tgt3 * tgt3, axis=0, keepdims=True)  # (1, TC)
+        thi = tgt3.astype(jnp.bfloat16)
+        tlo = (tgt3 - thi.astype(jnp.float32)).astype(jnp.bfloat16)
+        t9t = jnp.concatenate([thi, tlo, thi], axis=0)  # (9, TC)
+        dn_ab = (((0,), (0,)), ((), ()))  # src9 (9, S) . t9t (9, TC) -> (S, TC)
+        ab_t = jax.lax.dot_general(
+            src9_ref[0], t9t, dn_ab, preferred_element_type=jnp.float32
+        )
+        xn_col = jnp.swapaxes(sn_ref[0], 0, 1)  # (S, 1)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (s, 1), 0)
+        rows2 = jax.lax.broadcasted_iota(jnp.int32, (s, tc), 0)
+        # dpart excludes the per-target norm (constant per lane: it cannot
+        # change the argmin); the exact dmin re-adds it below
+        dpart = xn_col - 2.0 * ab_t  # (S, TC)
+        dpart = jnp.where(rows >= s_valid, jnp.float32(3.4e38), dpart)
 
-        feats = feat_ref[0]  # (S, F)
-        acc = jnp.zeros((tc, out_ref.shape[2]), jnp.float32)
-        wsum = jnp.zeros((tc, 1), jnp.float32)
+        featst = featt_ref[0]  # (F, S)
+        fhi = featst.astype(jnp.bfloat16)
+        flo = (featst - fhi.astype(jnp.float32)).astype(jnp.bfloat16)
+        acc = jnp.zeros((out_ref.shape[1], tc), jnp.float32)
+        wsum = jnp.zeros((1, tc), jnp.float32)
         ws, idxs = [], []
-        # (packed min+argmin measured SLOWER here than plain min+argmin,
-        # unlike the ball-query kernels — the int key rebuild per exclusion
-        # costs more than the argmin it saves at this tile shape;
-        # a fori_loop over the k selections with the (TC, S) distance tile
-        # as a carry also measured 2x SLOWER than this unroll)
+        dn_gather = (((1,), (0,)), ((), ()))  # (F, S) @ (S, TC)
         for j in range(k):
-            dmin = jnp.min(d2, axis=1)
-            idx = jnp.argmin(d2, axis=1).astype(jnp.int32)
-            onehot = (col == idx[:, None]).astype(jnp.float32)
-            w = 1.0 / jnp.maximum(dmin, 1e-16)
+            pmin = jnp.min(dpart, axis=0, keepdims=True)  # (1, TC)
+            idx = jnp.argmin(dpart, axis=0).astype(jnp.int32)[None, :]
+            onehot_t = (rows2 == idx).astype(jnp.bfloat16)  # (S, TC)
+            dmin = jnp.maximum(pmin + tn, 0.0)
+            w = 1.0 / jnp.maximum(dmin, 1e-16)  # (1, TC)
             sel = jax.lax.dot_general(
-                onehot, feats,
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            acc = acc + sel * w[:, None]
-            wsum = wsum + w[:, None]
+                fhi, onehot_t, dn_gather, preferred_element_type=jnp.float32
+            ) + jax.lax.dot_general(
+                flo, onehot_t, dn_gather, preferred_element_type=jnp.float32
+            )  # (F, TC)
+            acc = acc + sel * w
+            wsum = wsum + w
             idxs.append(idx)
             ws.append(w)
             if j < k - 1:
-                d2 = jnp.where(onehot > 0, jnp.float32(3.4e38), d2)
+                dpart = jnp.where(rows2 == idx, jnp.float32(3.4e38), dpart)
         out_ref[0] = acc / wsum
         # idx/w ride a (k, TC) layout: a (TC, k) block would put k on the
         # 128-lane tile dim, inflating the HBM array ~40x and dragging
         # multi-ms pad/broadcast/copy ops into the VJP (seen in the step
         # trace as s32[20,40448,1]-style data formatting).
-        idx_ref[0] = jnp.stack(idxs, axis=0)
-        w_ref[0] = jnp.stack(ws, axis=0) / wsum[:, 0][None, :]
+        idx_ref[0] = jnp.concatenate(idxs, axis=0)
+        w_ref[0] = jnp.concatenate(ws, axis=0) / wsum
 
     return kernel
 
@@ -307,34 +314,32 @@ def _knn_pallas_raw(x_src, pos_src, pos_tgt, k: int, tc: int = 0):
     srct = jnp.swapaxes(pos_src.astype(jnp.float32), 1, 2)  # (B, 3, S)
     src9 = _hilo9_rows(srct)
     sn = jnp.sum(srct * srct, axis=1, keepdims=True)  # (B, 1, S)
+    tgtt = jnp.swapaxes(pos_tgt.astype(jnp.float32), 1, 2)  # (B, 3, Tpad)
+    xt = jnp.swapaxes(x_src.astype(jnp.float32), 1, 2)  # (B, F, S)
 
-    out, idx, w = pl.pallas_call(
+    outt, idx, w = pl.pallas_call(
         _knn_kernel(k, s),
         name="knn_fwd",
         grid=(b, n_chunks),
         in_specs=[
-            pl.BlockSpec((1, tc, 3), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, tc), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 9, s), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, s), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, s, f), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, f, s), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, tc, f), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, f, tc), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, k, tc), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, k, tc), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((b, tpad, f), jnp.float32),
+            jax.ShapeDtypeStruct((b, f, tpad), jnp.float32),
             jax.ShapeDtypeStruct((b, k, tpad), jnp.int32),
             jax.ShapeDtypeStruct((b, k, tpad), jnp.float32),
         ),
         interpret=jax.default_backend() != "tpu",
-    )(
-        pos_tgt.astype(jnp.float32),
-        src9,
-        sn,
-        x_src.astype(jnp.float32),
-    )
+    )(tgtt, src9, sn, xt)
+    out = jnp.swapaxes(outt, 1, 2)
     # idx/w stay in their (B, k, T) layout — consumed only by the scatter VJP
     return out[:, :t], idx[:, :, :t], w[:, :, :t]
 
