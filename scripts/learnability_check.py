@@ -77,6 +77,7 @@ def main():
     ap.add_argument("--n_plots", type=int, default=60)
     ap.add_argument("--subsample_size", type=int, default=4096)
     ap.add_argument("--ball_query_method", default="grouped", choices=["grouped", "nearest"])
+    ap.add_argument("--seed", type=int, default=0, help="data + training seed")
     ns = ap.parse_args()
 
     from dataclasses import replace
@@ -86,7 +87,7 @@ def main():
     from stratanet2_tpu.learning.train import train_full
     from stratanet2_tpu.utils.experiment import MetricSink
 
-    rng = np.random.default_rng(0)
+    rng = np.random.default_rng(ns.seed)
     dataset = {}
     for i in range(ns.n_plots):
         cloud, gt = make_learnable_plot(rng, center=(100.0 * i, 0.0))
@@ -119,7 +120,8 @@ def main():
     with tempfile.TemporaryDirectory() as td:
         sink = MetricSink(td)
         _, train_losses, test_losses, infos = train_full(
-            dataset, ids[n_val:], ids[:n_val], cfg, kde, td, sink, fold_id=1
+            dataset, ids[n_val:], ids[:n_val], cfg, kde, td, sink, fold_id=1,
+            seed=ns.seed,
         )
     final_mae = test_losses[-1]["MAE_loss"]
     # predict-the-mean baseline on [0.05, 0.95]-uniform coverages: MAE ~0.30

@@ -73,11 +73,21 @@ def make_predict_step(cfg: Config, mesh=None):
 
     from stratanet2_tpu.parallel import batch_sharding, replicate
 
+    # Replicate params/state once per model identity, not per batch — the
+    # per-batch device_put of the full param pytree re-issued every transfer
+    # (advisor r2 weak #4). Keyed on pytree-leaf ids: a new checkpoint load
+    # produces fresh arrays and re-replicates.
+    rep_cache = {}
+
     def sharded_step(model, cloud, xyz):
-        model = replicate(mesh, model)
+        key = tuple(id(l) for l in jax.tree_util.tree_leaves(model))
+        if key not in rep_cache:
+            rep_cache.clear()
+            rep_cache[key] = replicate(mesh, model)
+        model_r = rep_cache[key]
         cloud = jax.device_put(cloud, batch_sharding(mesh, 3))
         xyz = jax.device_put(xyz, batch_sharding(mesh, 3))
-        return step(model, cloud, xyz)
+        return step(model_r, cloud, xyz)
 
     return sharded_step
 
@@ -146,14 +156,21 @@ def predict_parcel(
         return out_path
 
     final_tif = os.path.join(output_folder, f"{parcel_id}.tif")
-    tile_paths = [
-        os.path.join(tiff_folder, f)
-        for f in sorted(os.listdir(tiff_folder))
-        if f.endswith(".tif")
-    ]
+    # If every plot in the parcel was invalid (all-padding batches) the tiff
+    # folder was never created; the reference tolerates this via its merge
+    # returning "Nothing to merge" (inference/geotiff_raster.py:203-207).
+    tile_paths = (
+        [
+            os.path.join(tiff_folder, f)
+            for f in sorted(os.listdir(tiff_folder))
+            if f.endswith(".tif")
+        ]
+        if os.path.isdir(tiff_folder)
+        else []
+    )
     msg = merge_geotiff_rasters(final_tif, tile_paths, parcel_shape)
     logger.info(msg)
-    return final_tif
+    return final_tif if os.path.exists(final_tif) else None
 
 
 def update_shapefile_with_predictions(

@@ -29,6 +29,7 @@ from stratanet2_tpu.learning.kde import KdeMixture
 from stratanet2_tpu.learning.losses import (
     absolute_loss_by_strata,
     entropy_loss,
+    nll_loss,
     total_loss,
 )
 from stratanet2_tpu.models import PointNet2Params, init_pointnet2, pointnet2_forward, count_params
@@ -130,18 +131,9 @@ def make_eval_step(cfg: Config, kde: KdeMixture):
         def per_item(pred1, gt1, proba1, z1):
             l_abs_strata = absolute_loss_by_strata(pred1[None], gt1[None])
             l_abs = jnp.mean(l_abs_strata)
-            pdf = jnp.stack(
-                [
-                    jnp.interp(z1, kde_grid, kde_pdfs[0]),
-                    jnp.interp(z1, kde_grid, kde_pdfs[1]),
-                    jnp.interp(z1, kde_grid, kde_pdfs[2]),
-                ],
-                axis=-1,
-            )
-            p_all = jnp.stack(
-                [proba1[:, 0] + proba1[:, 1], proba1[:, 2], proba1[:, 3]], axis=-1
-            )
-            l_nll = -jnp.mean(jnp.log(jnp.sum(p_all * pdf, axis=-1)))
+            # Same uniform-grid NLL as the train path (single implementation;
+            # jnp.interp's searchsorted serializes on TPU — see losses.nll_loss).
+            l_nll, (p_all, pdf) = nll_loss(proba1, z1, kde_grid, kde_pdfs)
             l_e = entropy_loss(proba1)
             l_total = l_abs + cfg.train.m * l_nll + cfg.train.e * l_e
             return {

@@ -60,23 +60,28 @@ def batchnorm(
     variance stored unbiased, momentum 0.1 (torch BatchNorm1d defaults).
     """
     if train:
-        # sum/sum-of-squares in ONE traversal (var = E[x^2] - E[x]^2) — the
-        # centered two-pass form reads the 100-200 MB edge tensors twice
-        # (mean pass, then var pass) since var depends on mean. Cancellation
-        # is benign here: post-ReLU activations have var ~ mean^2, and the
-        # TPU's tree reductions keep the f32 sums to ~1e-6 relative.
+        # Shifted one-pass stats: var = E[(x-c)^2] - E[x-c]^2 with c = the
+        # per-channel running mean (a batch constant, so the identity is
+        # exact and gradients are unchanged). One traversal — the centered
+        # two-pass form reads the 100-200 MB edge tensors twice — and the
+        # shift removes the catastrophic cancellation of the unshifted
+        # E[x^2]-E[x]^2 form when |mean| >> std (advisor r2): after warmup
+        # the running mean tracks the batch mean, so E[x-c] ~ 0.
         xf = x.astype(jnp.float32)
+        shift = s["mean"].astype(jnp.float32)
+        xc = xf - shift
         axes = tuple(range(xf.ndim - 1))
         if mask is None:
             n = jnp.float32(xf.size // xf.shape[-1])
-            mean = jnp.sum(xf, axis=axes) / n
-            sq = jnp.sum(xf * xf, axis=axes) / n
+            dmean = jnp.sum(xc, axis=axes) / n
+            sq = jnp.sum(xc * xc, axis=axes) / n
         else:
             m = mask.astype(jnp.float32)[..., None]
             n = jnp.maximum(jnp.sum(m), 1.0)
-            mean = jnp.sum(xf * m, axis=axes) / n
-            sq = jnp.sum(xf * xf * m, axis=axes) / n
-        var = jnp.maximum(sq - mean * mean, 0.0)
+            dmean = jnp.sum(xc * m, axis=axes) / n
+            sq = jnp.sum(xc * xc * m, axis=axes) / n
+        mean = dmean + shift
+        var = jnp.maximum(sq - dmean * dmean, 0.0)
         unbiased = var * n / jnp.maximum(n - 1.0, 1.0)
         new_s = {
             "mean": (1 - BN_MOMENTUM) * s["mean"] + BN_MOMENTUM * mean,

@@ -141,16 +141,33 @@ def _sa_module(
             s,
         )
 
+    train_fused_ok = (
+        train
+        and use_pallas
+        and bq_method == "grouped"
+        and len(p["layers"]) <= 2
+        and q_bytes < 8 * 2**20
+        and jax.default_backend() == "tpu"
+    )
+    if train_fused_ok:
+        return _sa_train_fused_path(p, s, x, pos, centroids, radius, k)
+
     if use_pallas and bq_method == "grouped" and jax.default_backend() == "tpu":
         # VMEM-resident selection for the training path (no (B,C,N) HBM
-        # distance matrix); selection has no gradient.
+        # distance matrix); selection has no gradient. Consumed in the
+        # kernel-native (B, K, C) layout — K on sublanes — so the lane-major
+        # kernel outputs skip two HBM relayouts (docs/KERNELS.md r3).
         from stratanet2_tpu.ops.pallas_kernels import ball_query_grouped_pallas
 
-        nbr_idx, nbr_mask = ball_query_grouped_pallas(centroids, pos, radius, k)
+        nbr_idx, nbr_mask = ball_query_grouped_pallas(
+            centroids, pos, radius, k, layout="kc"
+        )
+        k_axis, c_axis = 1, 2
     else:
         nbr_idx, nbr_mask = ball_query(
             centroids, pos, radius, k, chunk=chunk, method=bq_method
         )
+        k_axis, c_axis = 2, 1
     if preproject:
         # Layer 1 distributes over the edge concat [x_j, pos_j - pos_c]:
         # pre-project per POINT (q = x@W1x + pos@W1p + b1, N rows) and per
@@ -169,7 +186,8 @@ def _sa_module(
             + b1
         )
         cterm = jnp.einsum("bcd,dk->bck", centroids.astype(jnp.float32), w1[f:])
-        h = jax.nn.relu(_gather(q, nbr_idx) - cterm[:, :, None, :])
+        cterm_e = cterm[:, None, :, :] if k_axis == 1 else cterm[:, :, None, :]
+        h = jax.nn.relu(_gather(q, nbr_idx) - cterm_e)
         h, bn1_state = nn.batchnorm(l1["bn"], s["layers"][0], h, nbr_mask, train)
         new_layer_states = [bn1_state]
         for layer_p, layer_s in zip(p["layers"][1:], s["layers"][1:]):
@@ -187,16 +205,68 @@ def _sa_module(
         f = x.shape[-1]
         both = _gather(
             jnp.concatenate([x, pos.astype(x.dtype)], axis=-1), nbr_idx
-        )  # (B, C, K, F+3)
+        )  # (B, C, K, F+3) or (B, K, C, F+3) per layout
         offset = jnp.pad(centroids.astype(both.dtype), ((0, 0), (0, 0), (f, 0)))
-        h = both - offset[:, :, None, :]
+        offset_e = offset[:, None, :, :] if k_axis == 1 else offset[:, :, None, :]
+        h = both - offset_e
         h, new_s = nn.mlp(
             p, s, h, mask=nbr_mask, train=train, compute_dtype=compute_dtype
         )
     neg = jnp.asarray(-1e30, h.dtype)
     h = jnp.where(nbr_mask[..., None], h, neg)
-    out = jnp.max(h, axis=2)  # (B, C, F') — each centroid is its own neighbor
+    out = jnp.max(h, axis=k_axis)  # (B, C, F') — each centroid is its own neighbor
     return out, centroids, new_s
+
+
+def _sa_train_fused_path(p, s, x, pos, centroids, radius, k):
+    """TRAIN-path fused SA interior (ops.pallas_kernels.sa_train_fused).
+
+    The layer-1 Linear distributes over the edge concat exactly as in the
+    eval kernel; BatchNorm BATCH statistics are accumulated inside the
+    kernels (masked sum/sum-sq over the VMEM-resident edges) instead of
+    materializing the (B, C, K, F) edge tensors in HBM (VERDICT r2 missing
+    #2, ~10 ms of the PROD train step). dq/dcterm leave the custom VJP and
+    flow into W1/b1/x through the einsums below by ordinary autodiff.
+    Gradient equality vs the unfused path: tests/test_sa_train_fused.py."""
+    from stratanet2_tpu.ops.pallas_kernels import (
+        ball_query_grouped_pallas,
+        sa_train_fused,
+    )
+
+    idx, mask = ball_query_grouped_pallas(centroids, pos, radius, k, layout="kc")
+    l1 = p["layers"][0]
+    w1, b1 = l1["linear"]["w"], l1["linear"]["b"]
+    f = x.shape[-1]
+    q = (
+        jnp.einsum("bnf,fc->bnc", x.astype(jnp.float32), w1[:f])
+        + jnp.einsum("bnd,dc->bnc", pos.astype(jnp.float32), w1[f:])
+        + b1
+    )
+    cterm = jnp.einsum("bcd,dk->bck", centroids.astype(jnp.float32), w1[f:])
+    scales = tuple(lyr["bn"]["scale"] for lyr in p["layers"])
+    biases = tuple(lyr["bn"]["bias"] for lyr in p["layers"])
+    if len(p["layers"]) == 2:
+        w2 = p["layers"][1]["linear"]["w"]
+        b2 = p["layers"][1]["linear"]["b"]
+    else:
+        w2 = b2 = None
+    out, stats, me = sa_train_fused(
+        q, cterm, scales, biases, w2, b2, idx, mask, k=k
+    )
+    # BatchNorm running-state update, identical to nn.batchnorm's train
+    # branch (biased batch var normalizes; unbiased var is stored).
+    new_layer_states = []
+    for (mean, var), layer_s in zip(stats, s["layers"]):
+        unbiased = var * me / jnp.maximum(me - 1.0, 1.0)
+        new_layer_states.append(
+            {
+                "mean": (1 - nn.BN_MOMENTUM) * layer_s["mean"]
+                + nn.BN_MOMENTUM * mean,
+                "var": (1 - nn.BN_MOMENTUM) * layer_s["var"]
+                + nn.BN_MOMENTUM * unbiased,
+            }
+        )
+    return out, centroids, {"layers": new_layer_states}
 
 
 def _fold_bn_eval(layer_p: Params, layer_s: Params):

@@ -496,7 +496,7 @@ def _knn_pallas_for_k(k: int):
         idx, w, token = res
         b, s, f, _ = token.shape
         src_dtype = token.dtype
-        t = idx.shape[1]
+        t = idx.shape[2]  # idx layout is (B, k, T) — advisor r2: shape[1] is k
         # dx_src[b, idx[b,t,j]] += w[b,t,j] * g[b,t] — MXU one-hot scatter
         dx = _knn_scatter_pallas(idx, w, g, s)
         zeros3 = jnp.zeros((b, s, 3), jnp.float32)
@@ -578,50 +578,74 @@ def _use_packed(g: int) -> bool:
 
 
 def _bq_kernel(k: int, g_real: int, n_valid: int, r2: float, blk: int):
-    def kernel(cent_ref, xyz9_ref, pn_ref, idx_ref, mask_ref):
-        # cent (1,CC,3) f32; xyz9 (1,K/blk,9,blk*G) bf16 hi/lo rows;
-        # pn (1,K/blk,1,blk*G) f32 column norms; idx/mask (1,CC,K).
+    def kernel(centt_ref, xyz9_ref, pn_ref, idx_ref, mask_ref):
+        # centt (1,3,CC) TRANSPOSED centroids; xyz9 (1,K/blk,9,blk*G) bf16
+        # hi/lo rows; pn (1,K/blk,1,blk*G) f32 norms; idx/mask (1,K,CC).
+        #
+        # FULLY transposed orientation (same playbook as _sa_kernel/_knn_
+        # kernel, docs/KERNELS.md "full transposition beats half"): the
+        # distance tile is (blk*G, CC) via ONE dim-0-contracted dot per
+        # block, so each group's min/argmin reduces over SUBLANES and yields
+        # a lane-major (1, CC) result — the where-merges into the (K, CC)
+        # accumulators are cheap sublane broadcasts of lane vectors, where
+        # the old (CC, K) orientation lane-broadcast sublane-major vectors
+        # (a relayout per group). The per-centroid norm cn is constant per
+        # lane column and cannot change the sublane argmin; it is re-added
+        # only for the exact radius compare.
         #
         # fori_loop over group BLOCKS (not a Python unroll): argmin's
-        # iota/select temporaries are (CC, G)-sized, and an unrolled loop
-        # keeps all k of them live (~22 MB of scoped vmem, OOM). One MXU
-        # matmul covers the blk groups of each iteration; per-group views
-        # are static lane-aligned slices of its result tile.
-        cc = cent_ref.shape[1]
+        # iota/select temporaries are (G, CC)-sized, and an unrolled loop
+        # keeps all k of them live (~22 MB of scoped vmem, OOM).
+        cc = centt_ref.shape[2]
         g = xyz9_ref.shape[3] // blk
-        cent = cent_ref[0]
-        cn = jnp.sum(cent * cent, axis=1, keepdims=True)
-        c9 = _hilo9_cols(cent)
-        colg = jax.lax.broadcasted_iota(jnp.int32, (cc, g), 1)
-        colk = jax.lax.broadcasted_iota(jnp.int32, (cc, k), 1)
+        c3 = centt_ref[0]  # (3, CC) f32
+        cn = jnp.sum(c3 * c3, axis=0, keepdims=True)  # (1, CC)
+        hi = c3.astype(jnp.bfloat16)
+        lo = (c3 - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        c9t = jnp.concatenate([hi, lo, hi], axis=0)  # (9, CC)
+        rowg = jax.lax.broadcasted_iota(jnp.int32, (g, 1), 0)
+        rowg2 = jax.lax.broadcasted_iota(jnp.int32, (g, cc), 0)
+        rowk = jax.lax.broadcasted_iota(jnp.int32, (k, cc), 0)
+        dn_ab = (((0,), (0,)), ((), ()))  # xyz9 (9, blk*G) . c9t (9, CC)
 
         packed = _use_packed(g)
         nbits = max(1, (g - 1).bit_length())
+        low = (1 << nbits) - 1
 
         def body(bi, carry):
             idx_acc, mask_acc = carry
-            d2b = _mxu_dist2_hilo(c9, cn, xyz9_ref[0, bi], pn_ref[0, bi])
+            ab_t = jax.lax.dot_general(
+                xyz9_ref[0, bi], c9t, dn_ab, preferred_element_type=jnp.float32
+            )  # (blk*G, CC)
+            pnb = pn_ref[0, bi]  # (1, blk*G)
             for l in range(blk):
                 gi = bi * blk + l
-                d2 = d2b[:, l * g : (l + 1) * g]
-                pad = (colg >= g_real) | ((gi * g_real + colg) >= n_valid)
-                d2 = jnp.where(pad, jnp.float32(3.4e38), d2)
+                sl = slice(l * g, (l + 1) * g)
+                xn_col = jnp.swapaxes(pnb[:, sl], 0, 1)  # (G, 1)
+                # dpart excludes cn (lane-constant); exact d2 re-adds below
+                dpart = xn_col - 2.0 * ab_t[sl]  # (G, CC)
+                pad = (rowg >= g_real) | ((gi * g_real + rowg) >= n_valid)
+                dpart = jnp.where(pad, jnp.float32(3.4e38), dpart)
                 if packed:
-                    dmin, within = _min_argmin_packed(d2, nbits)
+                    key = (
+                        jax.lax.bitcast_convert_type(dpart, jnp.int32) & ~low
+                    ) | rowg2
+                    kmin = jnp.min(key, axis=0, keepdims=True)  # (1, CC)
+                    within = kmin & low
+                    pmin = jax.lax.bitcast_convert_type(kmin & ~low, jnp.float32)
                 else:
-                    dmin = jnp.min(d2, axis=1)
-                    within = jnp.argmin(d2, axis=1).astype(jnp.int32)
-                valid = dmin <= r2
-                here = colk == gi
-                gidx = jnp.where(valid, within + gi * g_real, 0)
-                idx_acc = jnp.where(here, gidx[:, None], idx_acc)
-                mask_acc = jnp.where(
-                    here, valid[:, None].astype(jnp.int32), mask_acc
-                )
+                    pmin = jnp.min(dpart, axis=0, keepdims=True)
+                    within = jnp.argmin(dpart, axis=0).astype(jnp.int32)[None, :]
+                dmin = jnp.maximum(pmin + cn, 0.0)
+                valid = dmin <= r2  # (1, CC)
+                here = rowk == gi  # (K, CC)
+                gidx = jnp.where(valid, within + gi * g_real, 0)  # (1, CC)
+                idx_acc = jnp.where(here, gidx, idx_acc)
+                mask_acc = jnp.where(here, valid.astype(jnp.int32), mask_acc)
             return idx_acc, mask_acc
 
-        idx0 = jnp.zeros((cc, k), jnp.int32)
-        m0 = jnp.zeros((cc, k), jnp.int32)
+        idx0 = jnp.zeros((k, cc), jnp.int32)
+        m0 = jnp.zeros((k, cc), jnp.int32)
         idx_out, mask_out = jax.lax.fori_loop(0, k // blk, body, (idx0, m0))
         idx_ref[0] = idx_out
         mask_ref[0] = mask_out
@@ -629,16 +653,22 @@ def _bq_kernel(k: int, g_real: int, n_valid: int, r2: float, blk: int):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("radius", "k", "cc"))
+@functools.partial(jax.jit, static_argnames=("radius", "k", "cc", "layout"))
 def ball_query_grouped_pallas(
     centroids: jax.Array,  # (B, C, 3)
     points: jax.Array,  # (B, N, 3)
     radius: float,
     k: int,
     cc: int = 512,
+    layout: str = "ck",
 ):
     """Grouped ball query (ops.ball_query method='grouped' semantics) with
-    VMEM-resident distance tiles. Returns ((B, C, k) int32, (B, C, k) bool)."""
+    VMEM-resident distance tiles.
+
+    layout="ck" returns ((B, C, k) int32, (B, C, k) bool) — the historical
+    API. layout="kc" returns the kernel-native ((B, k, C), (B, k, C)) with
+    K on sublanes — no transpose on the way out; the SA training path
+    consumes this directly (the (B, C, k) form costs two HBM relayouts)."""
     b, n, _ = points.shape
     c = centroids.shape[1]
     xt, g_real, g = _grouped_layout(points, k)
@@ -654,26 +684,31 @@ def ball_query_grouped_pallas(
     cent = centroids
     if cpad != c:
         cent = jnp.pad(cent, ((0, 0), (0, cpad - c), (0, 0)))
+    centt = jnp.swapaxes(cent.astype(jnp.float32), 1, 2)  # (B, 3, Cpad)
 
     idx, mask = pl.pallas_call(
         _bq_kernel(k, g_real, n, float(radius) ** 2, blk),
         name="ball_query",
         grid=(b, cpad // cc),
         in_specs=[
-            pl.BlockSpec((1, cc, 3), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, cc), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, nb, 9, blk * g), lambda i, j: (i, 0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, nb, 1, blk * g), lambda i, j: (i, 0, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, cc, k), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, cc, k), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k, cc), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k, cc), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((b, cpad, k), jnp.int32),
-            jax.ShapeDtypeStruct((b, cpad, k), jnp.int32),
+            jax.ShapeDtypeStruct((b, k, cpad), jnp.int32),
+            jax.ShapeDtypeStruct((b, k, cpad), jnp.int32),
         ),
         interpret=jax.default_backend() != "tpu",
-    )(cent.astype(jnp.float32), xt9, pn)
+    )(centt, xt9, pn)
+    if layout == "kc":
+        return idx[:, :, :c], mask[:, :, :c].astype(bool)
+    idx = jnp.swapaxes(idx, 1, 2)
+    mask = jnp.swapaxes(mask, 1, 2)
     return idx[:, :c], mask[:, :c].astype(bool)
 
 
@@ -1042,3 +1077,757 @@ def _pixel_max_bwd(n_pix, res, cts):
 
 
 pixel_max_pallas.defvjp(_pixel_max_fwd, _pixel_max_bwd)
+
+
+# ---------------------------------------------------------------------------
+# fused set-abstraction interior (TRAIN path)
+# ---------------------------------------------------------------------------
+#
+# The training path could not use `sa_fused_eval` because BatchNorm batch
+# statistics need reductions over the GLOBAL edge set — the XLA formulation
+# materialized the (B, C, K, F) edge tensors in HBM (100-200 MB each,
+# ~10 ms of the PROD train step: edge gather 2.1 + BN stat fusions ~5 +
+# relayouts, VERDICT r2 missing #2). These kernels keep every edge tensor in
+# VMEM, rematerializing edges from the per-point layer-1 projection q
+# (selection indices come from `ball_query_grouped_pallas`, no gradient):
+#
+#   fwd A (2-layer only): masked per-channel sum / sum-sq of
+#     h1 = relu(q_j - cterm_c) -> BN1 batch stats.
+#   fwd main: folded BN1 affine -> layer-2 matmul (transposed (C2, CC)
+#     orientation) -> masked sum/sum-sq of the PRE-BN h (BN2 stats) + per-
+#     centroid masked max AND min of h with winner indices. BatchNorm's
+#     per-channel transform is a monotone affine, so
+#     max(BN(h)) == BN(max(h)) when gamma >= 0 and BN(min(h)) otherwise —
+#     the affine + sign-select run outside on the (B, C2, C) output.
+#   bwd: the one-winner max cotangent + the standard BN backward
+#     dx = gamma/sigma (dy - S1/M - xhat * S2/M) over masked edges. For the
+#     LAST BN, dy is nonzero only at winners, so S1/S2 reduce over stored
+#     winner values (no edge pass). For the inner BN (2-layer), bwd pass 1
+#     rematerializes edges to accumulate S1/S2 (+ dW2/db2); bwd pass 2
+#     rematerializes again to emit de0 -> dq (grouped-layout one-hot MXU
+#     scatter, exactly like _knn_scatter) and dcterm.
+#
+# Gradients leave the op as dq / dcterm: q = [x, pos] @ W1 + b1 and
+# cterm = pos_c @ W1p are computed OUTSIDE in XLA, so dW1/db1/dx flow by
+# ordinary autodiff of those matmuls — no edge-level scatter ever hits HBM.
+# Reference interior: /root/reference/model/point_net2.py:14-29.
+
+
+def _sa_row(ref, gi):
+    """(1, K, CC) ref -> (1, CC) row gi (dynamic sublane slice)."""
+    return ref[0, pl.ds(gi, 1), :]
+
+
+def _sa_hilo(x):
+    hi = x.astype(jnp.bfloat16)
+    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+_DN_G = (((1,), (0,)), ((), ()))  # (C, G) @ (G, CC)
+
+
+def _sa_gather(qhi, qlo, sl, onehot_t):
+    """hi/lo one-hot gather: (C1, CC) = q[:, sl] @ onehot (G, CC)."""
+    return jax.lax.dot_general(
+        qhi[:, sl], onehot_t, _DN_G, preferred_element_type=jnp.float32
+    ) + jax.lax.dot_general(
+        qlo[:, sl], onehot_t, _DN_G, preferred_element_type=jnp.float32
+    )
+
+
+def _sa_stats1_kernel(k: int, g_real: int, blk: int):
+    def kernel(idx_ref, mask_ref, qg_ref, ctermt_ref, stats_ref):
+        # idx/mask (1,K,CC) i32 (lane-major, from ball_query layout='kc');
+        # qg (1,nb,C1,blk*G) f32; ctermt (1,C1,CC); stats (1,C1,128) f32
+        # partials: lane 0 = masked sum of h1, lane 1 = masked sum of h1^2.
+        cc = ctermt_ref.shape[2]
+        c1 = ctermt_ref.shape[1]
+        g = qg_ref.shape[3] // blk
+        ctermt = ctermt_ref[0]
+        rowg2 = jax.lax.broadcasted_iota(jnp.int32, (g, cc), 0)
+
+        def body(bi, carry):
+            ssum, ssq = carry
+            qb = qg_ref[0, bi]
+            qhi, qlo = _sa_hilo(qb)
+            for l in range(blk):
+                gi = bi * blk + l
+                sl = slice(l * g, (l + 1) * g)
+                within = _sa_row(idx_ref, gi) - gi * g_real  # (1, CC)
+                vmask = (_sa_row(mask_ref, gi) > 0).astype(jnp.float32)
+                onehot_t = (rowg2 == within).astype(jnp.bfloat16)
+                h1 = jax.nn.relu(_sa_gather(qhi, qlo, sl, onehot_t) - ctermt)
+                hm = h1 * vmask
+                ssum = ssum + jnp.sum(hm, axis=1, keepdims=True)
+                ssq = ssq + jnp.sum(hm * h1, axis=1, keepdims=True)
+            return ssum, ssq
+
+        z = jnp.zeros((c1, 1), jnp.float32)
+        ssum, ssq = jax.lax.fori_loop(0, k // blk, body, (z, z))
+        stats_ref[0, 0] = jnp.concatenate(
+            [ssum, ssq, jnp.zeros((c1, 126), jnp.float32)], axis=1
+        )
+
+    return kernel
+
+
+def _sa_train_main_kernel(k: int, g_real: int, blk: int, two_layer: bool):
+    def kernel(
+        idx_ref, mask_ref, qg_ref, ctermt_ref, aff_ref, w2t_ref,
+        stats_ref, vmax_ref, vmin_ref, amax_ref, amin_ref,
+    ):
+        # aff (8, CL) rows: 0=a1 (gamma1/sigma1-folded affine scale),
+        # 1=c1 (affine shift), 2=b2 (layer-2 linear bias); w2t (C2, C1).
+        # outputs: stats partials of the PRE-BN last-layer h as in stats1;
+        # vmax/vmin (1, C2, CC) f32, amax/amin (1, C2, CC) i32 (group idx).
+        cc = ctermt_ref.shape[2]
+        c1 = ctermt_ref.shape[1]
+        c2 = vmax_ref.shape[1]
+        g = qg_ref.shape[3] // blk
+        ctermt = ctermt_ref[0]
+        rowg2 = jax.lax.broadcasted_iota(jnp.int32, (g, cc), 0)
+        if two_layer:
+            a1 = aff_ref[0, :c1][:, None]
+            c1v = aff_ref[1, :c1][:, None]
+            b2 = aff_ref[2, :c2][:, None]
+            dn_l2 = (((1,), (0,)), ((), ()))  # (C2, C1) @ (C1, CC)
+
+        def body(bi, carry):
+            ssum, ssq, vmax, vmin, amax, amin = carry
+            qb = qg_ref[0, bi]
+            qhi, qlo = _sa_hilo(qb)
+            for l in range(blk):
+                gi = bi * blk + l
+                sl = slice(l * g, (l + 1) * g)
+                within = _sa_row(idx_ref, gi) - gi * g_real
+                mrow = _sa_row(mask_ref, gi) > 0  # (1, CC) bool
+                vmask = mrow.astype(jnp.float32)
+                onehot_t = (rowg2 == within).astype(jnp.bfloat16)
+                h1 = jax.nn.relu(_sa_gather(qhi, qlo, sl, onehot_t) - ctermt)
+                if two_layer:
+                    y1 = h1 * a1 + c1v
+                    u = jax.lax.dot_general(
+                        w2t_ref[:, :], y1, dn_l2,
+                        preferred_element_type=jnp.float32,
+                    ) + b2
+                    h = jax.nn.relu(u)
+                else:
+                    h = h1
+                hm = h * vmask
+                ssum = ssum + jnp.sum(hm, axis=1, keepdims=True)
+                ssq = ssq + jnp.sum(hm * h, axis=1, keepdims=True)
+                e_hi = jnp.where(mrow, h, jnp.float32(-3.4e38))
+                e_lo = jnp.where(mrow, h, jnp.float32(3.4e38))
+                better = e_hi > vmax
+                vmax = jnp.where(better, e_hi, vmax)
+                amax = jnp.where(better, gi, amax)
+                worse = e_lo < vmin
+                vmin = jnp.where(worse, e_lo, vmin)
+                amin = jnp.where(worse, gi, amin)
+            return ssum, ssq, vmax, vmin, amax, amin
+
+        z = jnp.zeros((c2, 1), jnp.float32)
+        init = (
+            z, z,
+            jnp.full((c2, cc), -3.4e38, jnp.float32),
+            jnp.full((c2, cc), 3.4e38, jnp.float32),
+            jnp.zeros((c2, cc), jnp.int32),
+            jnp.zeros((c2, cc), jnp.int32),
+        )
+        ssum, ssq, vmax, vmin, amax, amin = jax.lax.fori_loop(
+            0, k // blk, body, init
+        )
+        stats_ref[0, 0] = jnp.concatenate(
+            [ssum, ssq, jnp.zeros((c2, 126), jnp.float32)], axis=1
+        )
+        vmax_ref[0] = vmax
+        vmin_ref[0] = vmin
+        amax_ref[0] = amax
+        amin_ref[0] = amin
+
+    return kernel
+
+
+def _sa_train_bwd1_kernel(k: int, g_real: int, blk: int):
+    """2-layer only: edge pass accumulating the inner-BN correction sums
+    S1_1 = sum(dy1), S2_1 = sum(dy1 * xhat1) plus dW2 / db2."""
+
+    def kernel(
+        idx_ref, mask_ref, qg_ref, ctermt_ref, aff_ref, w2t_ref,
+        awin_ref, gt_ref, acc_ref,
+    ):
+        # aff rows: 0=a1, 1=c1v, 2=b2, 3=gos2 (gamma2/sigma2), 4=m2,
+        # 5=inv_s2, 6=s1n (S1_2/M), 7=s2n (S2_2/M), 8=m1, 9=inv_s1.
+        # awin/gt (1, C2, CC); acc (1, CP, 136) f32 partials:
+        # lane 0 = S1_1 (C1), lane 1 = S2_1 (C1), lane 2 = db2 (C2),
+        # lanes 8..8+C1 = dW2 (C2, C1).
+        cc = ctermt_ref.shape[2]
+        c1 = ctermt_ref.shape[1]
+        c2 = gt_ref.shape[1]
+        g = qg_ref.shape[3] // blk
+        ctermt = ctermt_ref[0]
+        rowg2 = jax.lax.broadcasted_iota(jnp.int32, (g, cc), 0)
+        a1 = aff_ref[0, :c1][:, None]
+        c1v = aff_ref[1, :c1][:, None]
+        b2 = aff_ref[2, :c2][:, None]
+        gos2 = aff_ref[3, :c2][:, None]
+        m2 = aff_ref[4, :c2][:, None]
+        inv_s2 = aff_ref[5, :c2][:, None]
+        s1n = aff_ref[6, :c2][:, None]
+        s2n = aff_ref[7, :c2][:, None]
+        m1 = aff_ref[8, :c1][:, None]
+        inv_s1 = aff_ref[9, :c1][:, None]
+        awin = awin_ref[0]
+        gt = gt_ref[0]
+        dn_l2 = (((1,), (0,)), ((), ()))  # (C2, C1) @ (C1, CC)
+        dn_w2 = (((1,), (1,)), ((), ()))  # (C2, CC) . (C1, CC) -> (C2, C1)
+        dn_y1 = (((0,), (0,)), ((), ()))  # w2t (C2, C1) . du (C2, CC)
+
+        def body(bi, carry):
+            s11, s21, db2, dw2 = carry
+            qb = qg_ref[0, bi]
+            qhi, qlo = _sa_hilo(qb)
+            for l in range(blk):
+                gi = bi * blk + l
+                sl = slice(l * g, (l + 1) * g)
+                within = _sa_row(idx_ref, gi) - gi * g_real
+                vmask = (_sa_row(mask_ref, gi) > 0).astype(jnp.float32)
+                onehot_t = (rowg2 == within).astype(jnp.bfloat16)
+                h1 = jax.nn.relu(_sa_gather(qhi, qlo, sl, onehot_t) - ctermt)
+                y1 = h1 * a1 + c1v
+                u = jax.lax.dot_general(
+                    w2t_ref[:, :], y1, dn_l2, preferred_element_type=jnp.float32
+                ) + b2
+                h2 = jax.nn.relu(u)
+                xhat2 = (h2 - m2) * inv_s2
+                dy2 = jnp.where(awin == gi, gt, 0.0)
+                dh2 = gos2 * (dy2 - s1n - xhat2 * s2n) * vmask
+                du = jnp.where(u > 0, dh2, 0.0)  # (C2, CC)
+                duhi, dulo = _sa_hilo(du)
+                y1hi, y1lo = _sa_hilo(y1)
+                dw2 = dw2 + jax.lax.dot_general(
+                    duhi, y1hi, dn_w2, preferred_element_type=jnp.float32
+                ) + jax.lax.dot_general(
+                    duhi, y1lo, dn_w2, preferred_element_type=jnp.float32
+                ) + jax.lax.dot_general(
+                    dulo, y1hi, dn_w2, preferred_element_type=jnp.float32
+                )
+                db2 = db2 + jnp.sum(du, axis=1, keepdims=True)
+                dy1 = jax.lax.dot_general(
+                    w2t_ref[:, :], du, dn_y1, preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )  # (C1, CC)
+                xhat1 = (h1 - m1) * inv_s1
+                s11 = s11 + jnp.sum(dy1 * vmask, axis=1, keepdims=True)
+                s21 = s21 + jnp.sum(dy1 * xhat1 * vmask, axis=1, keepdims=True)
+            return s11, s21, db2, dw2
+
+        cp = acc_ref.shape[2]
+        z1 = jnp.zeros((c1, 1), jnp.float32)
+        z2 = jnp.zeros((c2, 1), jnp.float32)
+        s11, s21, db2, dw2 = jax.lax.fori_loop(
+            0, k // blk, body,
+            (z1, z1, z2, jnp.zeros((c2, c1), jnp.float32)),
+        )
+        pad_r = lambda x, r: jnp.pad(x, ((0, cp - x.shape[0]), (0, 0)))
+        out = jnp.concatenate(
+            [
+                pad_r(s11, cp), pad_r(s21, cp), pad_r(db2, cp),
+                jnp.zeros((cp, 5), jnp.float32),
+                jnp.pad(dw2, ((0, cp - c2), (0, 128 - c1))),
+            ],
+            axis=1,
+        )
+        acc_ref[0, 0] = out
+
+    return kernel
+
+
+def _sa_train_bwd2_kernel(k: int, g_real: int, blk: int, two_layer: bool):
+    """Edge pass emitting de0 -> dq (grouped layout, accumulated across
+    centroid chunks) and dcterm."""
+
+    def kernel(
+        idx_ref, mask_ref, qg_ref, ctermt_ref, aff_ref, w2t_ref,
+        awin_ref, gt_ref, dqg_ref, dct_ref,
+    ):
+        # aff rows as bwd1 + 10=gos1 (gamma1/sigma1), 11=s11n (S1_1/M),
+        # 12=s21n (S2_1/M). Single-layer: rows 8/9/10/11/12 refer to BN1
+        # and awin/gt carry the layer-1 winners/cotangents (C2 == C1).
+        cc = ctermt_ref.shape[2]
+        c1 = ctermt_ref.shape[1]
+        g = qg_ref.shape[3] // blk
+        ctermt = ctermt_ref[0]
+        rowg2 = jax.lax.broadcasted_iota(jnp.int32, (g, cc), 0)
+        m1 = aff_ref[8, :c1][:, None]
+        inv_s1 = aff_ref[9, :c1][:, None]
+        gos1 = aff_ref[10, :c1][:, None]
+        s11n = aff_ref[11, :c1][:, None]
+        s21n = aff_ref[12, :c1][:, None]
+        if two_layer:
+            c2 = gt_ref.shape[1]
+            a1 = aff_ref[0, :c1][:, None]
+            c1v = aff_ref[1, :c1][:, None]
+            b2 = aff_ref[2, :c2][:, None]
+            gos2 = aff_ref[3, :c2][:, None]
+            m2 = aff_ref[4, :c2][:, None]
+            inv_s2 = aff_ref[5, :c2][:, None]
+            s1n = aff_ref[6, :c2][:, None]
+            s2n = aff_ref[7, :c2][:, None]
+            dn_l2 = (((1,), (0,)), ((), ()))
+            dn_y1 = (((0,), (0,)), ((), ()))
+        awin = awin_ref[0]
+        gt = gt_ref[0]
+        dn_sc = (((1,), (1,)), ((), ()))  # de0 (C1, CC) . onehot (G, CC)
+
+        jc = pl.program_id(1)
+
+        @pl.when(jc == 0)
+        def _init():
+            dqg_ref[0] = jnp.zeros_like(dqg_ref[0])
+
+        def body(bi, dct):
+            qb = qg_ref[0, bi]
+            qhi, qlo = _sa_hilo(qb)
+            dq_pieces = []
+            for l in range(blk):
+                gi = bi * blk + l
+                sl = slice(l * g, (l + 1) * g)
+                within = _sa_row(idx_ref, gi) - gi * g_real
+                vmask = (_sa_row(mask_ref, gi) > 0).astype(jnp.float32)
+                onehot_t = (rowg2 == within).astype(jnp.bfloat16)
+                e0 = _sa_gather(qhi, qlo, sl, onehot_t) - ctermt
+                h1 = jax.nn.relu(e0)
+                if two_layer:
+                    y1 = h1 * a1 + c1v
+                    u = jax.lax.dot_general(
+                        w2t_ref[:, :], y1, dn_l2,
+                        preferred_element_type=jnp.float32,
+                    ) + b2
+                    h2 = jax.nn.relu(u)
+                    xhat2 = (h2 - m2) * inv_s2
+                    dy2 = jnp.where(awin == gi, gt, 0.0)
+                    dh2 = gos2 * (dy2 - s1n - xhat2 * s2n) * vmask
+                    du = jnp.where(u > 0, dh2, 0.0)
+                    dy1 = jax.lax.dot_general(
+                        w2t_ref[:, :], du, dn_y1,
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST,
+                    )
+                else:
+                    dy1 = jnp.where(awin == gi, gt, 0.0)
+                xhat1 = (h1 - m1) * inv_s1
+                dh1 = gos1 * (dy1 - s11n - xhat1 * s21n) * vmask
+                de0 = jnp.where(e0 > 0, dh1, 0.0)  # (C1, CC)
+                dct = dct - de0
+                dehi, delo = _sa_hilo(de0)
+                ohf = onehot_t  # bf16 (G, CC)
+                contrib = jax.lax.dot_general(
+                    dehi, ohf, dn_sc, preferred_element_type=jnp.float32
+                ) + jax.lax.dot_general(
+                    delo, ohf, dn_sc, preferred_element_type=jnp.float32
+                )  # (C1, G)
+                dq_pieces.append(contrib)
+            # per-group G-slices are disjoint: the concat IS the block's
+            # scatter accumulation (Mosaic has no scatter-add lowering)
+            dq_acc = dq_pieces[0] if blk == 1 else jnp.concatenate(dq_pieces, axis=1)
+            cur = dqg_ref[0, pl.ds(bi, 1), :, :]
+            dqg_ref[0, pl.ds(bi, 1), :, :] = cur + dq_acc[None]
+            return dct
+
+        dct = jax.lax.fori_loop(
+            0, k // blk, body, jnp.zeros((c1, cc), jnp.float32)
+        )
+        dct_ref[0] = dct
+
+    return kernel
+
+
+def _sa_blk(k: int, g: int) -> int:
+    blk = min(4, _group_blocks(k, g, budget=6 * 2**20))
+    while k % blk:
+        blk -= 1
+    return blk
+
+
+def _sa_layouts(q, cterm, idx, mask, k, cc):
+    """Shared fwd/bwd input layouts: block-grouped q, padded transposed
+    cterm, padded (B, K, Cpad) idx/mask."""
+    b, n, c1 = q.shape
+    c = cterm.shape[1]
+    g_real = -(-n // k)
+    g = _round_up(g_real, _LANE)
+    blk = _sa_blk(k, g)
+    qg = _block_layout(q.astype(jnp.float32), k, blk, g_real, g)
+    cc = min(cc, c)
+    cpad = _round_up(c, cc)
+    if cpad != c:
+        cterm = jnp.pad(cterm, ((0, 0), (0, cpad - c), (0, 0)))
+        idx = jnp.pad(idx, ((0, 0), (0, 0), (0, cpad - c)))
+        mask = jnp.pad(mask, ((0, 0), (0, 0), (0, cpad - c)))
+    ctermt = jnp.swapaxes(cterm.astype(jnp.float32), 1, 2)
+    return qg, ctermt, idx.astype(jnp.int32), mask.astype(jnp.int32), (
+        g_real, g, blk, cc, cpad
+    )
+
+
+def _unblock_layout(xg, k, blk, g_real, g, n):
+    """Inverse of `_block_layout`: (B, nb, F, blk*G) -> (B, N, F)."""
+    b, nb, f, _ = xg.shape
+    xg = xg.reshape(b, nb, f, blk, g)[:, :, :, :, :g_real]
+    xg = jnp.moveaxis(xg, 2, 4)  # (b, nb, blk, g_real, f)
+    return xg.reshape(b, k * g_real, f)[:, :n]
+
+
+def _sa_train_stats(qg, ctermt, idxp, maskp, k, geo):
+    g_real, g, blk, cc, cpad = geo
+    b = qg.shape[0]
+    nb = qg.shape[1]
+    c1 = ctermt.shape[1]
+    nchunks = cpad // cc
+    out = pl.pallas_call(
+        _sa_stats1_kernel(k, g_real, blk),
+        name="sa_train_stats1",
+        grid=(b, nchunks),
+        in_specs=[
+            pl.BlockSpec((1, k, cc), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k, cc), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nb, c1, blk * g), lambda i, j: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c1, cc), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, c1, 128), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, nchunks, c1, 128), jnp.float32),
+        interpret=jax.default_backend() != "tpu",
+    )(idxp, maskp, qg, ctermt)
+    sums = jnp.sum(out, axis=(0, 1))  # (C1, 128)
+    return sums[:, 0], sums[:, 1]
+
+
+def _sa_train_main(qg, ctermt, aff, w2t, idxp, maskp, k, c2, geo, two_layer):
+    g_real, g, blk, cc, cpad = geo
+    b, nb, c1, _ = qg.shape
+    nchunks = cpad // cc
+    stats, vmax, vmin, amax, amin = pl.pallas_call(
+        _sa_train_main_kernel(k, g_real, blk, two_layer),
+        name="sa_train_main",
+        grid=(b, nchunks),
+        in_specs=[
+            pl.BlockSpec((1, k, cc), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k, cc), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nb, c1, blk * g), lambda i, j: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c1, cc), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 1, c2, 128), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c2, cc), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c2, cc), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c2, cc), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c2, cc), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, nchunks, c2, 128), jnp.float32),
+            jax.ShapeDtypeStruct((b, c2, cpad), jnp.float32),
+            jax.ShapeDtypeStruct((b, c2, cpad), jnp.float32),
+            jax.ShapeDtypeStruct((b, c2, cpad), jnp.int32),
+            jax.ShapeDtypeStruct((b, c2, cpad), jnp.int32),
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )(idxp, maskp, qg, ctermt, aff, w2t)
+    sums = jnp.sum(stats, axis=(0, 1))
+    return (sums[:, 0], sums[:, 1]), vmax, vmin, amax, amin
+
+
+def _sa_train_bwd1(qg, ctermt, aff, w2t, idxp, maskp, awin, gt, k, geo):
+    g_real, g, blk, cc, cpad = geo
+    b, nb, c1, _ = qg.shape
+    c2 = gt.shape[1]
+    cp = _round_up(max(c1, c2), 8)
+    nchunks = cpad // cc
+    acc = pl.pallas_call(
+        _sa_train_bwd1_kernel(k, g_real, blk),
+        name="sa_train_bwd1",
+        grid=(b, nchunks),
+        in_specs=[
+            pl.BlockSpec((1, k, cc), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k, cc), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nb, c1, blk * g), lambda i, j: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c1, cc), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c2, cc), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c2, cc), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, cp, 136), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, nchunks, cp, 136), jnp.float32),
+        interpret=jax.default_backend() != "tpu",
+    )(idxp, maskp, qg, ctermt, aff, w2t, awin, gt)
+    sums = jnp.sum(acc, axis=(0, 1))  # (CP, 136)
+    s11 = sums[:c1, 0]
+    s21 = sums[:c1, 1]
+    db2 = sums[:c2, 2]
+    dw2 = sums[:c2, 8 : 8 + c1]  # (C2, C1)
+    return s11, s21, db2, dw2
+
+
+def _sa_train_bwd2(qg, ctermt, aff, w2t, idxp, maskp, awin, gt, k, geo, two_layer):
+    g_real, g, blk, cc, cpad = geo
+    b, nb, c1, _ = qg.shape
+    c2 = gt.shape[1]
+    nchunks = cpad // cc
+    dqg, dct = pl.pallas_call(
+        _sa_train_bwd2_kernel(k, g_real, blk, two_layer),
+        name="sa_train_bwd2",
+        grid=(b, nchunks),
+        in_specs=[
+            pl.BlockSpec((1, k, cc), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k, cc), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nb, c1, blk * g), lambda i, j: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c1, cc), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c2, cc), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c2, cc), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, nb, c1, blk * g), lambda i, j: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c1, cc), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, nb, c1, blk * g), jnp.float32),
+            jax.ShapeDtypeStruct((b, c1, cpad), jnp.float32),
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )(idxp, maskp, qg, ctermt, aff, w2t, awin, gt)
+    return dqg, dct
+
+
+def _bn_fold(gamma, beta, mean, var, eps):
+    inv = jax.lax.rsqrt(var + eps) * gamma
+    return inv, beta - mean * inv
+
+
+_BN_EPS_SA = 1e-5  # torch BatchNorm1d default, matches models.nn.BN_EPS
+
+
+@functools.lru_cache(maxsize=None)
+def _sa_train_for(k: int, two_layer: bool):
+    """custom_vjp closure over the static config (k, #layers).
+
+    Primals (two-layer): q (B,N,C1), cterm (B,C,C1), gamma1, beta1 (C1,),
+    w2 (C1,C2), b2 (C2,), gamma2, beta2 (C2,), idx (B,K,C) i32,
+    mask (B,K,C) bool. Single-layer drops w2/b2/gamma2/beta2.
+
+    Returns (out (B,C,C2), (mean1, var1[, mean2, var2]), n_valid_edges).
+    The stats outputs feed the BatchNorm running-state update only; their
+    cotangents are ignored (running stats are never differentiated — the
+    train loss flows through `out` alone, learning/train.py loss_fn).
+    """
+    import numpy as np
+    from jax import dtypes as jdt
+
+    eps = _BN_EPS_SA
+
+    def fwd_common(q, cterm, gamma1, beta1, w2, b2, gamma2, beta2, idx, mask):
+        b, n, c1 = q.shape
+        c = cterm.shape[1]
+        c2 = w2.shape[1] if two_layer else c1
+        qg, ctermt, idxp, maskp, geo = _sa_layouts(q, cterm, idx, mask, k, 512)
+        m_edges = jnp.maximum(jnp.sum(mask.astype(jnp.float32)), 1.0)
+
+        aff = jnp.zeros((16, 128), jnp.float32)
+        if two_layer:
+            s1, sq1 = _sa_train_stats(qg, ctermt, idxp, maskp, k, geo)
+            s1, sq1 = s1[:c1], sq1[:c1]
+            mean1 = s1 / m_edges
+            var1 = jnp.maximum(sq1 / m_edges - mean1 * mean1, 0.0)
+            a1, c1v = _bn_fold(gamma1, beta1, mean1, var1, eps)
+            aff = aff.at[0, :c1].set(a1).at[1, :c1].set(c1v)
+            aff = aff.at[2, :c2].set(b2)
+            w2t = jnp.swapaxes(w2.astype(jnp.float32), 0, 1)  # (C2, C1)
+        else:
+            mean1 = var1 = None
+            w2t = jnp.zeros((c1, c1), jnp.float32)
+
+        (sl, sql), vmax, vmin, amax, amin = _sa_train_main(
+            qg, ctermt, aff, w2t, idxp, maskp, k, c2, geo, two_layer
+        )
+        sl, sql = sl[:c2], sql[:c2]
+        mean_l = sl / m_edges
+        var_l = jnp.maximum(sql / m_edges - mean_l * mean_l, 0.0)
+        g_last = gamma2 if two_layer else gamma1
+        b_last = beta2 if two_layer else beta1
+        inv_l, shift_l = _bn_fold(g_last, b_last, mean_l, var_l, eps)
+        pos_g = (g_last >= 0)[None, :, None]
+        hwin = jnp.where(pos_g, vmax, vmin)  # (B, C2, Cpad)
+        awin = jnp.where(pos_g, amax, amin)
+        outt = hwin * inv_l[None, :, None] + shift_l[None, :, None]
+        out = jnp.swapaxes(outt, 1, 2)[:, :c]  # (B, C, C2)
+        return (
+            out, mean1, var1, mean_l, var_l, m_edges,
+            (qg, ctermt, idxp, maskp, aff, w2t, hwin, awin, geo),
+        )
+
+    if two_layer:
+
+        @jax.custom_vjp
+        def f(q, cterm, gamma1, beta1, w2, b2, gamma2, beta2, idx, mask):
+            out, m1, v1, m2, v2, me, _ = fwd_common(
+                q, cterm, gamma1, beta1, w2, b2, gamma2, beta2, idx, mask
+            )
+            return out, (m1, v1, m2, v2), me
+
+        def f_fwd(q, cterm, gamma1, beta1, w2, b2, gamma2, beta2, idx, mask):
+            out, m1, v1, m2, v2, me, keep = fwd_common(
+                q, cterm, gamma1, beta1, w2, b2, gamma2, beta2, idx, mask
+            )
+            # zero-size token carries q's (n, dtype) into bwd (residuals
+            # must be JAX types)
+            token = jnp.zeros((q.shape[0], q.shape[1], 0), q.dtype)
+            res = (keep, m1, v1, m2, v2, me, gamma1, gamma2, token)
+            return (out, (m1, v1, m2, v2), me), res
+
+        def f_bwd(res, cts):
+            (keep, m1, v1, m2, v2, me, gamma1, gamma2, token) = res
+            n = token.shape[1]
+            q_dtype = token.dtype
+            qg, ctermt, idxp, maskp, aff, w2t, hwin, awin, geo = keep
+            g_out = cts[0]  # stats/count cotangents ignored (see docstring)
+            b, c, c2 = g_out.shape
+            c1 = ctermt.shape[1]
+            cpad = ctermt.shape[2]
+            idx_shape = (b, idxp.shape[1], c)
+            gt = jnp.swapaxes(g_out.astype(jnp.float32), 1, 2)
+            if cpad != c:
+                gt = jnp.pad(gt, ((0, 0), (0, 0), (0, cpad - c)))
+
+            sig2 = jnp.sqrt(v2 + eps)
+            inv_s2 = 1.0 / sig2
+            # last-BN correction sums from stored winners (dy2 is winner-only)
+            xw = (hwin[:, :, :c] - m2[None, :, None]) * inv_s2[None, :, None]
+            S1_2 = jnp.sum(gt[:, :, :c], axis=(0, 2))
+            S2_2 = jnp.sum(gt[:, :, :c] * xw, axis=(0, 2))
+            dgamma2 = S2_2
+            dbeta2 = S1_2
+
+            sig1 = jnp.sqrt(v1 + eps)
+            aff_b = aff.at[3, :c2].set(gamma2 * inv_s2)
+            aff_b = aff_b.at[4, :c2].set(m2).at[5, :c2].set(inv_s2)
+            aff_b = aff_b.at[6, :c2].set(S1_2 / me).at[7, :c2].set(S2_2 / me)
+            aff_b = aff_b.at[8, :c1].set(m1).at[9, :c1].set(1.0 / sig1)
+
+            s11, s21, db2, dw2 = _sa_train_bwd1(
+                qg, ctermt, aff_b, w2t, idxp, maskp, awin, gt, k, geo
+            )
+            dgamma1 = s21
+            dbeta1 = s11
+            aff_b = aff_b.at[10, :c1].set(gamma1 / sig1)
+            aff_b = aff_b.at[11, :c1].set(s11 / me).at[12, :c1].set(s21 / me)
+
+            dqg, dct = _sa_train_bwd2(
+                qg, ctermt, aff_b, w2t, idxp, maskp, awin, gt, k, geo, True
+            )
+            g_real, g, blk, cc, _ = geo
+            dq = _unblock_layout(dqg, k, blk, g_real, g, n).astype(q_dtype)
+            dcterm = jnp.swapaxes(dct, 1, 2)[:, :c]
+            fz = lambda shp: np.zeros(shp, jdt.float0)
+            return (
+                dq, dcterm, dgamma1, dbeta1,
+                jnp.swapaxes(dw2, 0, 1), db2, dgamma2, dbeta2,
+                fz(idx_shape), fz(idx_shape),
+            )
+
+        f.defvjp(f_fwd, f_bwd)
+        return f
+
+    @jax.custom_vjp
+    def f1(q, cterm, gamma1, beta1, idx, mask):
+        out, _, _, m, v, me, _ = fwd_common(
+            q, cterm, gamma1, beta1, None, None, None, None, idx, mask
+        )
+        return out, (m, v), me
+
+    def f1_fwd(q, cterm, gamma1, beta1, idx, mask):
+        out, _, _, m, v, me, keep = fwd_common(
+            q, cterm, gamma1, beta1, None, None, None, None, idx, mask
+        )
+        token = jnp.zeros((q.shape[0], q.shape[1], 0), q.dtype)
+        res = (keep, m, v, me, gamma1, token)
+        return (out, (m, v), me), res
+
+    def f1_bwd(res, cts):
+        keep, m, v, me, gamma1, token = res
+        n = token.shape[1]
+        q_dtype = token.dtype
+        qg, ctermt, idxp, maskp, aff, w2t, hwin, awin, geo = keep
+        g_out = cts[0]
+        b, c, c1 = g_out.shape
+        cpad = ctermt.shape[2]
+        idx_shape = (b, idxp.shape[1], c)
+        gt = jnp.swapaxes(g_out.astype(jnp.float32), 1, 2)
+        if cpad != c:
+            gt = jnp.pad(gt, ((0, 0), (0, 0), (0, cpad - c)))
+
+        sig = jnp.sqrt(v + eps)
+        inv_s = 1.0 / sig
+        xw = (hwin[:, :, :c] - m[None, :, None]) * inv_s[None, :, None]
+        S1 = jnp.sum(gt[:, :, :c], axis=(0, 2))
+        S2 = jnp.sum(gt[:, :, :c] * xw, axis=(0, 2))
+        dgamma1 = S2
+        dbeta1 = S1
+
+        aff_b = aff.at[8, :c1].set(m).at[9, :c1].set(inv_s)
+        aff_b = aff_b.at[10, :c1].set(gamma1 * inv_s)
+        aff_b = aff_b.at[11, :c1].set(S1 / me).at[12, :c1].set(S2 / me)
+
+        dqg, dct = _sa_train_bwd2(
+            qg, ctermt, aff_b, w2t, idxp, maskp, awin, gt, k, geo, False
+        )
+        g_real, g, blk, cc, _ = geo
+        dq = _unblock_layout(dqg, k, blk, g_real, g, n).astype(q_dtype)
+        dcterm = jnp.swapaxes(dct, 1, 2)[:, :c]
+        fz = lambda shp: np.zeros(shp, jdt.float0)
+        return dq, dcterm, dgamma1, dbeta1, fz(idx_shape), fz(idx_shape)
+
+    f1.defvjp(f1_fwd, f1_bwd)
+    return f1
+
+
+def sa_train_fused(
+    q, cterm, bn_scales, bn_biases, w2, b2, idx, mask, k: int
+):
+    """Fused SA interior for the TRAINING path (see section comment).
+
+    Args:
+      q: (B, N, C1) per-point layer-1 projection incl. bias (f32).
+      cterm: (B, C, C1) centroid term of layer 1.
+      bn_scales/bn_biases: tuple of per-layer BatchNorm (gamma, beta) — one
+        entry for single-layer MLPs, two for two-layer.
+      w2, b2: layer-2 Linear (in,out)/(out,) or None for single-layer.
+      idx, mask: (B, K, C) selection from ball_query_grouped_pallas(
+        layout='kc'); no gradient flows through selection.
+      k: static neighbor cap.
+
+    Returns:
+      out: (B, C, C2) the masked-max SA output (identical math to the
+        unfused gather + masked-BN MLP + max composition).
+      stats: per-layer (batch_mean, biased_batch_var) tuples.
+      n_valid_edges: scalar f32 count backing the stats (for the unbiased
+        running-var correction).
+    """
+    two_layer = w2 is not None
+    fn = _sa_train_for(int(k), two_layer)
+    if two_layer:
+        out, (m1, v1, m2, v2), me = fn(
+            q, cterm, bn_scales[0], bn_biases[0], w2, b2,
+            bn_scales[1], bn_biases[1], idx, mask,
+        )
+        return out, ((m1, v1), (m2, v2)), me
+    out, (m, v), me = fn(q, cterm, bn_scales[0], bn_biases[0], idx, mask)
+    return out, ((m, v),), me

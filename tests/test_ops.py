@@ -240,6 +240,24 @@ class TestGradientEquality:
             np.asarray(g_pallas), np.asarray(g_lax), rtol=1e-3, atol=3e-5
         )
 
+    def test_knn_pallas_position_cotangent_shapes(self, rng):
+        """Advisor r2 (medium): bwd read t from idx.shape[1] after the idx
+        layout moved to (B, k, T) — the pos_tgt cotangent came back (B, k, 3)
+        instead of (B, T, 3). Positions carry zero gradient by design, but
+        the shapes must match the primals."""
+        from stratanet2_tpu.ops.pallas_kernels import knn_interpolate_pallas
+
+        x = jnp.asarray(rng.normal(size=(2, 30, 5)).astype(np.float32))
+        ps = jnp.asarray(rng.normal(size=(2, 30, 3)).astype(np.float32))
+        pt = jnp.asarray(rng.normal(size=(2, 70, 3)).astype(np.float32))
+
+        gs, gt = jax.grad(
+            lambda a, b: jnp.sum(knn_interpolate_pallas(x, a, b, 3)), argnums=(0, 1)
+        )(ps, pt)
+        assert gs.shape == ps.shape
+        assert gt.shape == pt.shape
+        assert not np.any(np.asarray(gs)) and not np.any(np.asarray(gt))
+
     def test_gather_vjp_matches_take(self, rng):
         from stratanet2_tpu.models.pointnet2 import _gather, _gather_raw
 
