@@ -622,21 +622,24 @@ def _bq_kernel(k: int, g_real: int, n_valid: int, r2: float, blk: int):
                 gi = bi * blk + l
                 sl = slice(l * g, (l + 1) * g)
                 xn_col = jnp.swapaxes(pnb[:, sl], 0, 1)  # (G, 1)
-                # dpart excludes cn (lane-constant); exact d2 re-adds below
-                dpart = xn_col - 2.0 * ab_t[sl]  # (G, CC)
+                # cn MUST be added (and the result clamped >= 0) BEFORE the
+                # packed min: the bit-trick needs d2 >= 0 — int32 order is
+                # REVERSED among negative floats, and xn - 2ab is negative
+                # for near points (caused real centroids to lose their self
+                # slot at PROD geometry -> inf activations -> NaN stats).
+                d2 = jnp.maximum(xn_col + cn - 2.0 * ab_t[sl], 0.0)  # (G, CC)
                 pad = (rowg >= g_real) | ((gi * g_real + rowg) >= n_valid)
-                dpart = jnp.where(pad, jnp.float32(3.4e38), dpart)
+                d2 = jnp.where(pad, jnp.float32(3.4e38), d2)
                 if packed:
                     key = (
-                        jax.lax.bitcast_convert_type(dpart, jnp.int32) & ~low
+                        jax.lax.bitcast_convert_type(d2, jnp.int32) & ~low
                     ) | rowg2
                     kmin = jnp.min(key, axis=0, keepdims=True)  # (1, CC)
                     within = kmin & low
-                    pmin = jax.lax.bitcast_convert_type(kmin & ~low, jnp.float32)
+                    dmin = jax.lax.bitcast_convert_type(kmin & ~low, jnp.float32)
                 else:
-                    pmin = jnp.min(dpart, axis=0, keepdims=True)
-                    within = jnp.argmin(dpart, axis=0).astype(jnp.int32)[None, :]
-                dmin = jnp.maximum(pmin + cn, 0.0)
+                    dmin = jnp.min(d2, axis=0, keepdims=True)
+                    within = jnp.argmin(d2, axis=0).astype(jnp.int32)[None, :]
                 valid = dmin <= r2  # (1, CC)
                 here = rowk == gi  # (K, CC)
                 gidx = jnp.where(valid, within + gi * g_real, 0)  # (1, CC)

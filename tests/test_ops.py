@@ -129,6 +129,50 @@ class TestBallQuery:
         np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
         np.testing.assert_array_equal(np.asarray(m1), np.asarray(m2))
 
+    def test_pallas_packed_path_matches_lax(self, rng):
+        """Regression for the PROD-geometry NaN (r3): the packed min/argmin
+        bit-trick requires d2 >= 0 — the transposed kernel once packed the
+        norm-less xn - 2ab (negative for near points; int32 order reverses
+        among negative floats), so real centroids lost their self slot at
+        g >= 256. This forces the packed branch (g = 256) off-TPU via
+        interpret mode and pins pallas == lax, self-inclusion included."""
+        from stratanet2_tpu.ops.pallas_kernels import (
+            _use_packed,
+            ball_query_grouped_pallas,
+        )
+
+        k, n = 4, 1024  # g_real = 256 -> packed branch
+        assert _use_packed(256)
+        pts = (rng.normal(size=(2, n, 3)) * 4).astype(np.float32)
+        cen = pts[:, ::16][:, :32]  # real points -> self slot must be valid
+        r = 1.5
+        ip, mp = ball_query_grouped_pallas(
+            jnp.asarray(cen), jnp.asarray(pts), r, k
+        )
+        il, ml = ball_query(
+            jnp.asarray(cen), jnp.asarray(pts), r, k, method="grouped"
+        )
+        np.testing.assert_array_equal(np.asarray(mp), np.asarray(ml))
+        # compare selected distances (tie-tolerant), and self-inclusion
+        for b in range(2):
+            for c in range(32):
+                d2 = np.sum((pts[b] - cen[b, c]) ** 2, axis=1)
+                sel_p = np.asarray(ip)[b, c][np.asarray(mp)[b, c]]
+                sel_l = np.asarray(il)[b, c][np.asarray(ml)[b, c]]
+                np.testing.assert_allclose(
+                    np.sort(d2[sel_p]), np.sort(d2[sel_l]), atol=2e-3
+                )
+                assert np.any(np.asarray(mp)[b, c]), "centroid lost all slots"
+                assert d2[sel_p].min() < 1e-3, "self point not selected"
+
+        # kc layout is the same data transposed
+        ik, mk = ball_query_grouped_pallas(
+            jnp.asarray(cen), jnp.asarray(pts), r, k, layout="kc"
+        )
+        np.testing.assert_array_equal(
+            np.asarray(ik), np.swapaxes(np.asarray(ip), 1, 2)
+        )
+
 
 def knn_interpolate_oracle(x, pos_x, pos_y, k):
     """torch_geometric.nn.knn_interpolate semantics (inverse d^2, clamped)."""
