@@ -1,0 +1,72 @@
+"""TensorBoard event-file writer (utils/tboard.py) and MetricSink mirror."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import numpy as np
+
+from stratanet2_tpu.utils.tboard import (
+    EventFileWriter,
+    _crc32c,
+    _masked_crc,
+    read_events,
+)
+
+
+class TestCrc32c:
+    def test_known_vector(self):
+        # RFC 3720 test vector for CRC32C (Castagnoli)
+        assert _crc32c(b"123456789") == 0xE3069283
+
+    def test_mask_rotation(self):
+        # TensorFlow's masking: ((crc >> 15) | (crc << 17)) + 0xa282ead8
+        crc = _crc32c(b"hello")
+        want = (((crc >> 15) | (crc << 17)) + 0xA282EAD8) & 0xFFFFFFFF
+        assert _masked_crc(b"hello") == want
+
+
+class TestEventFile:
+    def test_roundtrip(self, tmp_path):
+        w = EventFileWriter(str(tmp_path))
+        w.add_scalar("train/loss", 0.5, step=1)
+        w.add_scalar("train/loss", 0.25, step=2)
+        w.add_scalar("val/MAE", 0.125, step=2)
+        w.close()
+        events = read_events(w.path)
+        assert ("train/loss", np.float32(0.5), 1) == events[0]
+        assert events[1][1] == np.float32(0.25) and events[1][2] == 2
+        assert events[2][0] == "val/MAE"
+
+    def test_negative_step_roundtrip(self, tmp_path):
+        # Regression: the SSL path logs with step = fold_id = -1; naive varint
+        # encoding of a negative Python int loops forever (unbounded shift).
+        w = EventFileWriter(str(tmp_path))
+        w.add_scalar("ssl/val_MAE", 0.75, step=-1)
+        w.close()
+        events = read_events(w.path)
+        assert events[0] == ("ssl/val_MAE", np.float32(0.75), -1)
+
+    def test_metricsink_mirrors_scalars(self, tmp_path):
+        from stratanet2_tpu.utils.experiment import MetricSink
+
+        sink = MetricSink(str(tmp_path))
+        with sink.context("fold_1_train"):
+            sink.log_metrics({"total_loss": 0.3, "note": "str-skipped"}, epoch=3, step=12)
+        sink.close()
+        files = glob.glob(os.path.join(str(tmp_path), "tb", "events.out.tfevents.*"))
+        assert len(files) == 1
+        events = read_events(files[0])
+        tags = [e[0] for e in events]
+        assert "fold_1_train/total_loss" in tags
+        assert not any("note" in t for t in tags)
+
+    def test_opt_out_env(self, tmp_path, monkeypatch):
+        from stratanet2_tpu.utils.experiment import MetricSink
+
+        monkeypatch.setenv("STRATANET2_NO_TENSORBOARD", "1")
+        sink = MetricSink(str(tmp_path))
+        sink.log_metrics({"x": 1.0})
+        sink.close()
+        assert not os.path.isdir(os.path.join(str(tmp_path), "tb"))
