@@ -61,7 +61,11 @@ def build_dataset(root: str) -> str:
     return path
 
 
-def run_fold(root: str, fold: int, resume: bool, n_epoch: int) -> None:
+def run_fold(
+    root: str, fold: int, resume: bool, n_epoch: int,
+    transfer_dtype: str = "float32",
+    device_resident: bool = False,
+) -> None:
     from dataclasses import replace
 
     from stratanet2_tpu.config import Config
@@ -76,6 +80,11 @@ def run_fold(root: str, fold: int, resume: bool, n_epoch: int) -> None:
     cfg = replace(
         cfg,
         train=replace(cfg.train, n_epoch=n_epoch, use_early_stopping=True),
+        data=replace(
+            cfg.data,
+            transfer_dtype=transfer_dtype,
+            device_resident=device_resident,
+        ),
     )
     kde = fit_kde_mixture_from_dataset(dataset)
     ids = np.array(sorted(dataset.keys()))
@@ -175,13 +184,19 @@ def main():
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--orchestrate", action="store_true")
     ap.add_argument("--n_epoch", type=int, default=300)
+    ap.add_argument("--transfer_dtype", default="float32",
+                    choices=["float32", "float16"])
+    ap.add_argument("--device_resident", action="store_true",
+                    help="HBM-resident dataset + one-program epochs "
+                    "(data/device_dataset.py)")
     ns = ap.parse_args()
     if ns.orchestrate:
         orchestrate(ns.root, ns.n_epoch)
     else:
         assert ns.fold, "--fold required without --orchestrate"
         build_dataset(ns.root)
-        run_fold(ns.root, ns.fold, ns.resume, ns.n_epoch)
+        run_fold(ns.root, ns.fold, ns.resume, ns.n_epoch, ns.transfer_dtype,
+                 ns.device_resident)
 
 
 if __name__ == "__main__":

@@ -126,6 +126,16 @@ class DataConfig:
     min_points_for_pseudo_labelling: int = 2000  # inference/predict_utils.py:65
     prefetch_batches: int = 2
     loader_workers: int = 2
+    # host->device transfer dtype for cloud/xyz batches: "float32" (exact)
+    # or "float16" (halves the transfer bytes; features are already
+    # [0,1]-rescaled and xyz spans +-10 m, so fp16 costs ~1e-3 relative —
+    # below the augmentation noise). Arrays are cast back to f32 on device.
+    transfer_dtype: str = "float32"
+    # Upload the whole training fold to HBM once and run augmentation +
+    # subsampling + all steps of an epoch as ONE jitted scan (see
+    # data/device_dataset.py). Single-device path only; the DP mesh path
+    # keeps the host loader.
+    device_resident: bool = False
 
 
 @dataclass(frozen=True)
@@ -200,6 +210,12 @@ def _add_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--inference_model_id", type=str, default="")
     p.add_argument("--plot_geotiff_file", action="store_true", default=None)
     p.add_argument("--use_pallas", type=lambda s: s.lower() in ("1", "true"), default=None)
+    p.add_argument("--transfer_dtype", choices=["float32", "float16"])
+    p.add_argument(
+        "--device_resident",
+        type=lambda s: s.lower() in ("1", "true"),
+        default=None,
+    )
 
 
 def parse_config(argv: Optional[list] = None) -> Tuple[Config, argparse.Namespace]:
@@ -235,6 +251,7 @@ def parse_config(argv: Optional[list] = None) -> Tuple[Config, argparse.Namespac
                 "data_path", "las_plots_folder_path", "gt_file_path",
                 "corrected_gt_file_path", "las_parcels_folder_path",
                 "parcel_shapefile_path", "plots_pickled_dataset_path",
+                "transfer_dtype", "device_resident",
             ],
         ),
     )

@@ -1,0 +1,255 @@
+"""Device-resident training dataset: the whole plot set lives in HBM and the
+per-item augmentation + subsampling pipeline runs ON DEVICE under jit.
+
+Why: the host pipeline (transforms.load_cloud_item via data/loader.PlotLoader)
+costs ~1.3 s/epoch at PROD geometry on this 1-core host while the device step
+is ~0.1 s (RESULTS.md 'Epoch-loop pipelining'); with the dataset resident,
+only a (n_batches, B) int32 index table and one PRNG key cross the relay per
+EPOCH — the epoch itself is a single `lax.scan`-chained device program.
+
+Semantics mirror the reference per-item pipeline
+(/root/reference/data_loader/loader.py:73-87, our transforms.load_cloud_item):
+
+  build (host, ONCE per fold): center -> fake ground points -> xyz snapshot
+    -> feature rescale. Rescale is hoisted ahead of augmentation: x and y
+    share the /10 scale, so the shared z-rotation and axis flips are
+    isometries of the scaled plane, and the clipped xy feature noise
+    (sigma 0.1 m, clip 0.3 m raw — loader.py:196-206) becomes sigma 0.01 /
+    clip 0.03 in scaled units. Exact commutation, not an approximation.
+
+  sample (device, per step): shared z-rotation (uniform whole degree,
+    loader.py:165) + x/y flips on features and positions, clipped Gaussian
+    xy noise on features only, fixed-size subsample via a key-sort.
+
+Subsample distribution (reference loader.py:233-246 = our
+transforms.sample_cloud): plots are CYCLE-padded to M rows at build time
+(row n+j repeats row j mod n). Selection draws one uniform key per row —
+originals in (-1, 0), cycled copies in (0, 1) — and takes the N smallest by
+a variadic `lax.sort` over all channels:
+  * n >= N: all winners are originals -> an exact uniform N-subset
+    (matches rng.choice(n, N, replace=False) in distribution).
+  * n < N: every original is selected plus N-n repeats drawn WITHOUT
+    replacement from the copy pool (the reference draws repeats WITH
+    replacement). Same support, repeat multiplicities capped at
+    ceil((M-n)/n)+1 instead of unbounded — a documented, negligible
+    deviation (docs/PARITY.md).
+
+No gathers anywhere on the per-point axis (XLA TPU gathers serialize —
+CLAUDE.md): selection is a sort, batch assembly gathers only B whole-plot
+slices and (B, 4) coverage rows.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, NamedTuple, Sequence, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from stratanet2_tpu.config import Config, ModelConfig
+from stratanet2_tpu.data.transforms import (
+    add_fake_empty_ground_points,
+    center_cloud,
+    rescale_cloud,
+)
+
+__all__ = [
+    "DeviceDataset",
+    "build_device_dataset",
+    "make_device_sampler",
+    "make_device_epoch",
+]
+
+
+class DeviceDataset(NamedTuple):
+    """Device-resident plot arrays (HBM cost: P * M * 13 * 4 bytes —
+    ~60 MB at reference scale P=110, M~10.5k)."""
+
+    feats: jax.Array  # (P, M, F) rescaled features, cycle-padded
+    xyz: jax.Array  # (P, M, 3) centered raw-meter positions, cycle-padded
+    n: jax.Array  # (P,) valid point counts (pre-padding)
+    coverages: jax.Array  # (P, 4) GT, or (P, 0) when absent (SSL/inference)
+    plot_ids: Tuple[str, ...]  # host-side id order matching axis 0
+
+
+def _cycle_pad(arr: np.ndarray, m: int) -> np.ndarray:
+    """Pad (n, C) to (m, C) with rows j mod n — every padding row is a real
+    point, so repeat selection needs no gather."""
+    n = arr.shape[0]
+    if n >= m:
+        return arr[:m]
+    reps = np.arange(m - n) % n
+    return np.concatenate([arr, arr[reps]], axis=0)
+
+
+def build_device_dataset(
+    dataset: Dict[str, Dict],
+    plot_ids: Sequence[str],
+    mcfg: ModelConfig,
+) -> DeviceDataset:
+    """Host-side one-time build: per plot run the deterministic pipeline
+    prefix (center -> fake points -> rescale), cycle-pad to the common M,
+    upload once."""
+    feats_l, xyz_l, n_l, cov_l = [], [], [], []
+    m = mcfg.subsample_size
+    prepared = []
+    for pid in plot_ids:
+        data = dataset[pid]
+        cloud = np.asarray(data["cloud"], np.float32)
+        cloud = center_cloud(cloud, data["plot_center"])
+        cloud = add_fake_empty_ground_points(
+            cloud, mcfg.diam_meters, mcfg.n_input_feats
+        )
+        xyz = cloud[:3].copy()
+        cloud = rescale_cloud(cloud, mcfg.z_max)
+        prepared.append((cloud.T, xyz.T, np.asarray(data.get("coverages", np.empty(0)), np.float32)))
+        m = max(m, cloud.shape[1])
+    for cloud_t, xyz_t, cov in prepared:
+        n_l.append(cloud_t.shape[0])
+        feats_l.append(_cycle_pad(cloud_t, m))
+        xyz_l.append(_cycle_pad(xyz_t, m))
+        cov_l.append(cov)
+    covs = (
+        np.stack(cov_l)
+        if cov_l and all(c.size == 4 for c in cov_l)
+        else np.zeros((len(plot_ids), 0), np.float32)
+    )
+    return DeviceDataset(
+        feats=jnp.asarray(np.stack(feats_l)),
+        xyz=jnp.asarray(np.stack(xyz_l)),
+        n=jnp.asarray(np.asarray(n_l, np.int32)),
+        coverages=jnp.asarray(covs),
+        plot_ids=tuple(plot_ids),
+    )
+
+
+def _augment_subsample_one(
+    feats: jax.Array,  # (M, F) rescaled
+    xyz: jax.Array,  # (M, 3) raw meters
+    n: jax.Array,  # () int32
+    key: jax.Array,
+    n_out: int,
+    train: bool,
+):
+    """One plot: shared rotation/flips (+feature xy noise) then the key-sort
+    subsample. All per-point work is elementwise or a variadic sort — no
+    point-axis gathers."""
+    m = feats.shape[0]
+    k_rot, k_fx, k_fy, k_noise, k_sel = jax.random.split(key, 5)
+
+    if train:
+        # np.radians(rng.choice(360)) — whole-degree shared rotation
+        angle = jnp.radians(
+            jax.random.randint(k_rot, (), 0, 360).astype(jnp.float32)
+        )
+        c, s = jnp.cos(angle), jnp.sin(angle)
+        # transforms.rotate_around_z: [x, y] @ [[c, -s], [s, c]]
+        sx = jnp.where(jax.random.uniform(k_fx) > 0.5, -1.0, 1.0)
+        sy = jnp.where(jax.random.uniform(k_fy) > 0.5, -1.0, 1.0)
+
+        def rot(xy):
+            x, y = xy[..., 0], xy[..., 1]
+            return jnp.stack([(x * c + y * s) * sx, (-x * s + y * c) * sy], -1)
+
+        # clipped Gaussian xy noise on FEATURES only (scaled units)
+        noise = jnp.clip(
+            0.01 * jax.random.normal(k_noise, (m, 2)), -0.03, 0.03
+        )
+        feats = jnp.concatenate([rot(feats[:, :2]) + noise, feats[:, 2:]], -1)
+        xyz = jnp.concatenate([rot(xyz[:, :2]), xyz[:, 2:]], -1)
+
+    # key-sort selection: originals in (-1, 0), cycled copies in (0, 1)
+    pos = jnp.arange(m, dtype=jnp.int32)
+    u = jax.random.uniform(k_sel, (m,))
+    order = jnp.where(pos < n, u - 1.0, u)
+    cols = [feats[:, i] for i in range(feats.shape[1])] + [
+        xyz[:, i] for i in range(3)
+    ]
+    sorted_ops = jax.lax.sort([order] + cols, dimension=0, num_keys=1)
+    picked = [op[:n_out] for op in sorted_ops[1:]]
+    f = feats.shape[1]
+    return jnp.stack(picked[:f], -1), jnp.stack(picked[f:], -1)
+
+
+def make_device_sampler(mcfg: ModelConfig, train: bool):
+    """Jitted (dd, plot_idx (B,), key) -> batch dict of device arrays with
+    the PlotLoader batch schema (cloud/xyz/coverages)."""
+
+    @jax.jit
+    def _sample(feats, xyz_all, n_all, coverages, plot_idx, key):
+        feats_b = feats[plot_idx]  # B whole-plot slices: fine on TPU
+        xyz_b = xyz_all[plot_idx]
+        n_b = n_all[plot_idx]
+        keys = jax.random.split(key, plot_idx.shape[0])
+        cloud, xyz = jax.vmap(
+            lambda f, x, n, k: _augment_subsample_one(
+                f, x, n, k, mcfg.subsample_size, train
+            )
+        )(feats_b, xyz_b, n_b, keys)
+        return {
+            "cloud": cloud,
+            "xyz": xyz,
+            "coverages": coverages[plot_idx],
+        }
+
+    def sample(dd: DeviceDataset, plot_idx, key):
+        # dd.plot_ids is host-side strings — keep it out of the jit boundary
+        return _sample(
+            dd.feats, dd.xyz, dd.n, dd.coverages, jnp.asarray(plot_idx), key
+        )
+
+    return sample
+
+
+def make_device_epoch(cfg: Config, train_step_fn):
+    """One WHOLE training epoch as a single jitted program: lax.scan over
+    the per-batch (sample -> train step) body. Host sends the shuffled
+    (n_batches, B) plot-index table + one key; receives summed loss
+    components once.
+
+    `train_step_fn` is the un-jitted step body from make_train_step (the
+    scan jit subsumes the per-call jit)."""
+
+    mcfg = cfg.model
+
+    def epoch(ts, feats, xyz, n, coverages, idx_table, key):
+        def body(ts, inp):
+            plot_idx, i = inp
+            kb = jax.random.fold_in(key, i)
+            feats_b = feats[plot_idx]
+            xyz_b = xyz[plot_idx]
+            n_b = n[plot_idx]
+            keys = jax.random.split(jax.random.fold_in(kb, 1), plot_idx.shape[0])
+            cloud_b, xyz_s = jax.vmap(
+                lambda f, x, nn, k: _augment_subsample_one(
+                    f, x, nn, k, mcfg.subsample_size, True
+                )
+            )(feats_b, xyz_b, n_b, keys)
+            ts, comps = train_step_fn(
+                ts, cloud_b, xyz_s, coverages[plot_idx],
+                jax.random.fold_in(kb, 2),
+            )
+            return ts, comps
+
+        nb = idx_table.shape[0]
+        ts, comps_all = jax.lax.scan(
+            body, ts, (idx_table, jnp.arange(nb, dtype=jnp.int32))
+        )
+        sums = jax.tree_util.tree_map(lambda a: jnp.sum(a, axis=0), comps_all)
+        return ts, sums
+
+    return jax.jit(epoch, donate_argnums=(0,))
+
+
+def epoch_index_table(
+    n_plots: int, batch_size: int, seed: int, epoch: int
+) -> np.ndarray:
+    """Shuffled drop_last batch table, same schedule semantics as
+    PlotLoader.__iter__ (seeded rng per epoch, learning/train.py:33-38)."""
+    ids = np.arange(n_plots)
+    rng = np.random.default_rng(seed + epoch)
+    rng.shuffle(ids)
+    nb = n_plots // batch_size
+    return ids[: nb * batch_size].reshape(nb, batch_size).astype(np.int32)

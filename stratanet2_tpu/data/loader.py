@@ -62,9 +62,10 @@ class PlotLoader:
         )
 
     def _collate(self, items: List[Dict], n_valid: int) -> Dict:
+        tdt = np.float16 if self.cfg.data.transfer_dtype == "float16" else np.float32
         batch = {
-            "cloud": np.stack([it["cloud"] for it in items]),
-            "xyz": np.stack([it["xyz"] for it in items]),
+            "cloud": np.stack([it["cloud"] for it in items]).astype(tdt),
+            "xyz": np.stack([it["xyz"] for it in items]).astype(tdt),
             "plot_id": [it["plot_id"] for it in items],
             "plot_center": np.stack([it["plot_center"] for it in items]),
             "valid": (np.arange(len(items)) < n_valid),

@@ -65,13 +65,21 @@ def evaluate(
     embeddings: List[np.ndarray] = []
     embedding_names: List[str] = []
 
+    # Dispatch ALL batches before fetching any result (same pipelining as
+    # inference/predict.py): a per-batch device_get serializes every
+    # host->device upload with the compute through the relay. Holding the
+    # per-batch device outputs is cheap (~6 MB per PROD batch).
+    pending = []
     for batch in loader:
-        pred_pl, cov, proba, comps, aux, g = eval_step(
+        outs = eval_step(
             model,
             jnp.asarray(batch["cloud"]),
             jnp.asarray(batch["xyz"]),
             jnp.asarray(batch["coverages"]),
         )
+        pending.append((batch, outs))
+
+    for batch, (pred_pl, cov, proba, comps, aux, g) in pending:
         if cfg.log_embeddings and last_epoch:
             g = np.asarray(jax.device_get(g))
             for i in np.where(batch["valid"])[0]:

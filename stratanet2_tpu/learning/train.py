@@ -78,15 +78,30 @@ def init_train_state(
     return TrainState(params, model_state, opt_state, jnp.zeros((), jnp.int32))
 
 
-def make_train_step(cfg: Config, optimizer: optax.GradientTransformation, kde: KdeMixture):
+def make_train_step(
+    cfg: Config,
+    optimizer: optax.GradientTransformation,
+    kde: KdeMixture,
+    jit: bool = True,
+):
     """One fused optimization step (forward + projection + 3-term loss +
-    backward + Adam), jitted with donated state."""
+    backward + Adam), jitted with donated state.
+
+    `jit=False` returns the raw step body for callers that embed it in a
+    larger compiled program (data/device_dataset.make_device_epoch scans it
+    over a whole epoch)."""
     mcfg = cfg.model
     m, e = cfg.train.m, cfg.train.e
     kde_grid = jnp.asarray(kde.grid)
     kde_pdfs = jnp.asarray(kde.pdfs)
 
     def step(ts: TrainState, cloud, xyz, gt, rng):
+        # inputs may arrive in the reduced transfer dtype (f16 over the
+        # wire, DataConfig.transfer_dtype); compute is always f32
+        cloud = cloud.astype(jnp.float32)
+        xyz = xyz.astype(jnp.float32)
+        gt = gt.astype(jnp.float32)
+
         def loss_fn(params):
             cov, proba, new_state = pointnet2_forward(
                 PointNet2Params(params, ts.model_state),
@@ -110,6 +125,8 @@ def make_train_step(cfg: Config, optimizer: optax.GradientTransformation, kde: K
         new_params = optax.apply_updates(ts.params, updates)
         return TrainState(new_params, new_state, new_opt, ts.step + 1), comps
 
+    if not jit:
+        return step
     return jax.jit(step, donate_argnums=(0,))
 
 
@@ -122,6 +139,9 @@ def make_eval_step(cfg: Config, kde: KdeMixture):
     kde_pdfs = jnp.asarray(kde.pdfs)
 
     def step(model: PointNet2Params, cloud, xyz, gt):
+        cloud = cloud.astype(jnp.float32)
+        xyz = xyz.astype(jnp.float32)
+        gt = gt.astype(jnp.float32)
         cov, proba, _, g = pointnet2_forward(
             model, cloud[..., 2:], xyz, mcfg, train=False, return_embeddings=True
         )
@@ -170,7 +190,12 @@ def train_one_epoch(
             return jax.device_put(a, batch_sharding(mesh, a.ndim))
         return a
 
-    sums: Dict[str, float] = {}
+    # Accumulate loss components ON DEVICE and fetch once per epoch: a
+    # per-batch device_get blocks the dispatch pipeline on every step —
+    # through the axon relay that serialized upload -> compute -> RPC
+    # fetch per batch (~2.8 s/epoch at PROD where the device work is
+    # ~0.1 s; same lesson as the predict path's batch pipelining).
+    acc = None
     n = 0
     n_points = 0
     t0 = time.time()
@@ -183,13 +208,43 @@ def train_one_epoch(
             _put(batch["coverages"]),
             sub,
         )
-        comps = jax.device_get(comps)
-        for k, v in comps.items():
-            sums[k] = sums.get(k, 0.0) + float(v)
+        acc = comps if acc is None else jax.tree_util.tree_map(jnp.add, acc, comps)
         n += 1
         n_points += batch["cloud"].shape[0] * batch["cloud"].shape[1]
-    means = {k: v / max(n, 1) for k, v in sums.items()}
+    sums = jax.device_get(acc) if acc is not None else {}
+    means = {k: float(v) / max(n, 1) for k, v in sums.items()}
     means["step"] = int(jax.device_get(ts.step))
+    means["points_per_sec"] = round(n_points / max(time.time() - t0, 1e-9), 1)
+    return ts, means
+
+
+def train_one_epoch_device_resident(
+    epoch_fn,
+    ts: TrainState,
+    dd,
+    cfg: Config,
+    seed: int,
+    epoch: int,
+    rng_key: jax.Array,
+) -> Tuple[TrainState, Dict[str, float]]:
+    """One epoch as ONE device program (data/device_dataset.make_device_epoch):
+    only the shuffled index table and a key cross the relay; loss sums come
+    back in a single fetch."""
+    from stratanet2_tpu.data.device_dataset import epoch_index_table
+
+    idx = epoch_index_table(
+        len(dd.plot_ids), cfg.train.batch_size, seed, epoch
+    )
+    t0 = time.time()
+    ts, sums = epoch_fn(
+        ts, dd.feats, dd.xyz, dd.n, dd.coverages,
+        jnp.asarray(idx), jax.random.fold_in(rng_key, epoch),
+    )
+    sums = jax.device_get(sums)
+    nb = max(idx.shape[0], 1)
+    means = {k: float(v) / nb for k, v in sums.items()}
+    means["step"] = int(jax.device_get(ts.step))
+    n_points = idx.size * cfg.model.subsample_size
     means["points_per_sec"] = round(n_points / max(time.time() - t0, 1e-9), 1)
     return ts, means
 
@@ -257,8 +312,29 @@ def train_full(
     steps_per_epoch = max(len(train_loader), 1)
     optimizer = make_optimizer(cfg, steps_per_epoch)
     ts = init_train_state(cfg, optimizer, seed=seed, pretrained_path=pretrained_path)
-    train_step = make_train_step(cfg, optimizer, kde)
     eval_step = make_eval_step(cfg, kde)
+
+    # Device-resident data path: dataset uploaded once, augmentation +
+    # subsampling + the whole epoch's steps run as one compiled scan
+    # (single-device only; the DP mesh path keeps the host loader).
+    device_data = cfg.data.device_resident and mesh is None
+    if device_data:
+        from stratanet2_tpu.data.device_dataset import (
+            build_device_dataset,
+            make_device_epoch,
+        )
+
+        dd = build_device_dataset(dataset, list(train_ids), cfg.model)
+        epoch_fn = make_device_epoch(
+            cfg, make_train_step(cfg, optimizer, kde, jit=False)
+        )
+        logger.info(
+            "Device-resident dataset: %d plots x %d rows (%.1f MB HBM)",
+            dd.feats.shape[0], dd.feats.shape[1],
+            (dd.feats.size + dd.xyz.size) * 4 / 1e6,
+        )
+    else:
+        train_step = make_train_step(cfg, optimizer, kde)
 
     stopper = EarlyStopper(cfg)
     ckpt_path = os.path.join(stats_path, ckpt.checkpoint_name(fold_id))
@@ -293,14 +369,19 @@ def train_full(
         sink.set_epoch(current_epoch)
         t0 = time.time()
         with sink.context(f"fold_{fold_id}_train"):
-            ts, train_losses = train_one_epoch(
-                train_step, ts, train_loader,
-                # independent key stream per epoch (splitting the same key
-                # forward would make epoch e+1 reuse epoch e's dropout keys
-                # shifted by one batch)
-                jax.random.fold_in(rng_key, current_epoch),
-                mesh=mesh,
-            )
+            if device_data:
+                ts, train_losses = train_one_epoch_device_resident(
+                    epoch_fn, ts, dd, cfg, seed, current_epoch, rng_key
+                )
+            else:
+                ts, train_losses = train_one_epoch(
+                    train_step, ts, train_loader,
+                    # independent key stream per epoch (splitting the same
+                    # key forward would make epoch e+1 reuse epoch e's
+                    # dropout keys shifted by one batch)
+                    jax.random.fold_in(rng_key, current_epoch),
+                    mesh=mesh,
+                )
             train_losses["epoch"] = current_epoch
             train_losses["epoch_seconds"] = time.time() - t0
             print_epoch_losses(current_epoch, train_losses, train=True)

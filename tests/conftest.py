@@ -20,6 +20,13 @@ jax.config.update("jax_platforms", "cpu")
 assert jax.default_backend() == "cpu"
 assert len(jax.devices()) == 8, "expected 8 virtual CPU devices for mesh tests"
 
+# Persistent compilation cache: the box has ONE core and the suite is
+# compile-dominated (first full run ~25 min cold); cached reruns skip the
+# XLA compiles entirely. Keyed on backend+flags, safe across branches.
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_enable_xla_caches", "all")
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

@@ -115,3 +115,183 @@ class TestItemPipeline:
         assert np.abs(item["xyz"][:, :2]).max() < 12.0
         # cloud xy is rescaled /10
         assert np.abs(item["cloud"][:, :2]).max() < 1.2
+
+
+class TestTransferDtype:
+    def test_float16_transfer_roundtrip(self):
+        """transfer_dtype=float16 halves the wire bytes; train/eval/predict
+        steps cast back to f32 on device, and the quantization stays ~1e-3
+        relative on the rescaled features."""
+        from dataclasses import replace
+
+        import jax
+        import jax.numpy as jnp
+
+        from tests.synthetic import make_plot_cloud, tiny_config
+        from stratanet2_tpu.data.loader import PlotLoader
+        from stratanet2_tpu.inference.predict import make_predict_step
+        from stratanet2_tpu.models import init_pointnet2
+
+        cfg = tiny_config()
+        cfg16 = replace(cfg, data=replace(cfg.data, transfer_dtype="float16"))
+        rng = np.random.default_rng(3)
+        dataset = {}
+        for i in range(2):
+            c = make_plot_cloud(rng, n=400, center=(i * 40.0, 0.0))
+            dataset[f"P{i}"] = {
+                "cloud": c, "coverages": np.array([]),
+                "plot_center": np.array([i * 40.0, 0.0]),
+                "plot_id": f"P{i}", "N_points_in_cloud": c.shape[1], "index": i,
+            }
+        b32 = next(iter(PlotLoader(dataset, cfg, train=False)))
+        b16 = next(iter(PlotLoader(dataset, cfg16, train=False)))
+        assert b16["cloud"].dtype == np.float16 and b16["xyz"].dtype == np.float16
+        assert b32["cloud"].dtype == np.float32
+        np.testing.assert_allclose(
+            b16["xyz"].astype(np.float32), b32["xyz"], rtol=1e-3, atol=2e-2
+        )
+
+        model = init_pointnet2(jax.random.PRNGKey(0), cfg.model)
+        step = make_predict_step(cfg)
+        r32, p32 = step(model, jnp.asarray(b32["cloud"]), jnp.asarray(b32["xyz"]))
+        r16, p16 = step(model, jnp.asarray(b16["cloud"]), jnp.asarray(b16["xyz"]))
+        assert r16.dtype == jnp.float32
+        np.testing.assert_allclose(
+            np.asarray(p16), np.asarray(p32), atol=0.02
+        )
+
+
+class TestDeviceDataset:
+    """Device-resident dataset (data/device_dataset.py): the HBM-resident
+    build must reproduce the host pipeline's deterministic prefix, and the
+    key-sort subsample must match sample_cloud's distribution semantics
+    (data_loader/loader.py:233-246)."""
+
+    def _dataset(self, rng, n_plots=6, n_points=300):
+        from tests.synthetic import make_plot_dataset
+
+        return make_plot_dataset(rng, n_plots=n_plots, n_points=n_points)
+
+    def test_build_matches_host_prefix(self):
+        """feats/xyz rows [:n] equal the host center->fake->rescale prefix
+        (load_cloud_item with augmentation and subsampling stripped)."""
+        import numpy as np
+
+        from tests.synthetic import tiny_config
+        from stratanet2_tpu.data.device_dataset import build_device_dataset
+        from stratanet2_tpu.data.transforms import (
+            add_fake_empty_ground_points,
+            center_cloud,
+            rescale_cloud,
+        )
+
+        rng = np.random.default_rng(0)
+        ds = self._dataset(rng)
+        cfg = tiny_config()
+        pids = sorted(ds.keys())
+        dd = build_device_dataset(ds, pids, cfg.model)
+        for p, pid in enumerate(pids):
+            cloud = np.asarray(ds[pid]["cloud"], np.float32)
+            cloud = center_cloud(cloud, ds[pid]["plot_center"])
+            cloud = add_fake_empty_ground_points(
+                cloud, cfg.model.diam_meters, cfg.model.n_input_feats
+            )
+            xyz = cloud[:3].copy()
+            cloud = rescale_cloud(cloud, cfg.model.z_max)
+            n = int(dd.n[p])
+            assert n == cloud.shape[1]
+            np.testing.assert_allclose(
+                np.asarray(dd.feats[p, :n]), cloud.T, rtol=1e-6
+            )
+            np.testing.assert_allclose(np.asarray(dd.xyz[p, :n]), xyz.T, rtol=1e-6)
+            # cycle padding repeats real rows
+            m = dd.feats.shape[1]
+            if m > n:
+                np.testing.assert_allclose(
+                    np.asarray(dd.feats[p, n:]), cloud.T[np.arange(m - n) % n]
+                )
+
+    def test_eval_sampler_picks_uniform_original_subset(self):
+        import numpy as np
+        import jax
+
+        from tests.synthetic import tiny_config
+        from stratanet2_tpu.data.device_dataset import (
+            build_device_dataset,
+            make_device_sampler,
+        )
+
+        rng = np.random.default_rng(1)
+        ds = self._dataset(rng, n_plots=4, n_points=400)
+        cfg = tiny_config()
+        pids = sorted(ds.keys())
+        dd = build_device_dataset(ds, pids, cfg.model)
+        sample = make_device_sampler(cfg.model, train=False)
+        batch = sample(dd, np.arange(4, dtype=np.int32), jax.random.PRNGKey(7))
+        N = cfg.model.subsample_size
+        assert batch["cloud"].shape == (4, N, cfg.model.n_input_feats)
+        assert batch["xyz"].shape == (4, N, 3)
+        for p in range(4):
+            n = int(dd.n[p])
+            rows = {tuple(r) for r in np.asarray(dd.feats[p, :n]).round(6).tolist()}
+            got = np.asarray(batch["cloud"][p]).round(6)
+            assert all(tuple(r) in rows for r in got.tolist())
+            if n >= N:  # exact subset without replacement -> all distinct
+                assert len({tuple(r) for r in got.tolist()}) == N
+
+    def test_undersized_plot_keeps_all_originals(self):
+        import numpy as np
+        import jax
+
+        from tests.synthetic import tiny_config
+        from stratanet2_tpu.data.device_dataset import (
+            build_device_dataset,
+            make_device_sampler,
+        )
+
+        from dataclasses import replace
+
+        rng = np.random.default_rng(2)
+        ds = self._dataset(rng, n_plots=2, n_points=60)
+        # 60 real + ~316 fake ground points < subsample_size=512
+        cfg = tiny_config()
+        cfg = replace(cfg, model=replace(cfg.model, subsample_size=512))
+        pids = sorted(ds.keys())
+        dd = build_device_dataset(ds, pids, cfg.model)
+        sample = make_device_sampler(cfg.model, train=False)
+        batch = sample(dd, np.arange(2, dtype=np.int32), jax.random.PRNGKey(3))
+        for p in range(2):
+            n = int(dd.n[p])
+            orig = np.asarray(dd.feats[p, :n]).round(6)
+            got = {tuple(r) for r in np.asarray(batch["cloud"][p]).round(6).tolist()}
+            missing = [i for i in range(n) if tuple(orig[i].tolist()) not in got]
+            assert not missing, f"originals dropped: {missing[:5]}"
+
+    def test_train_full_device_resident(self, tmp_path):
+        """End-to-end: train_full with data.device_resident=True runs the
+        one-program-per-epoch path and produces finite, stable losses plus
+        the usual checkpoint artifacts."""
+        from dataclasses import replace
+
+        import numpy as np
+
+        from tests.synthetic import make_plot_dataset, tiny_config
+        from stratanet2_tpu.learning.kde import fit_kde_mixture_from_dataset
+        from stratanet2_tpu.learning.train import train_full
+        from stratanet2_tpu.utils.experiment import MetricSink
+
+        cfg = tiny_config()
+        cfg = replace(cfg, data=replace(cfg.data, device_resident=True))
+        ds = make_plot_dataset(np.random.default_rng(5), n_plots=8, n_points=300)
+        kde = fit_kde_mixture_from_dataset(ds)
+        ids = np.array(sorted(ds.keys()))
+        sink = MetricSink(str(tmp_path))
+        ts, train_losses, test_losses, _ = train_full(
+            ds, ids[:6], ids[6:], cfg, kde, str(tmp_path), sink, fold_id=1
+        )
+        assert len(train_losses) == cfg.train.n_epoch
+        assert all(np.isfinite(d["total_loss"]) for d in train_losses)
+        assert train_losses[-1]["total_loss"] < train_losses[0]["total_loss"] * 3
+        import os
+
+        assert os.path.exists(tmp_path / "PCC_model_fold_n=1.pt")
