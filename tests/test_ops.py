@@ -47,6 +47,12 @@ class TestFPS:
         assert len(set(idx.tolist())) == 100
 
     def test_pallas_interpret_matches_lax(self, rng):
+        """Index-clobber-tolerant oracle (r3): the kernel's packed cache
+        truncates selection distances by ~2^(nbits-24), so near-tied picks
+        may differ from the exact lax path. The oracle therefore checks the
+        FPS *quality* invariants instead of exact indices: no duplicates,
+        and coverage radius (max over points of min distance to the
+        selected set) within the truncation tolerance of exact FPS."""
         from stratanet2_tpu.ops.pallas_kernels import fps_pallas_batched
 
         xyz = rng.normal(size=(3, 200, 3)).astype(np.float32)
@@ -55,7 +61,17 @@ class TestFPS:
         want = np.asarray(
             farthest_point_sampling(jnp.asarray(xyz), 64, use_pallas=False)
         )
-        np.testing.assert_array_equal(got, want)
+
+        def coverage_radius(pts, sel):
+            d2 = np.sum((pts[:, None] - pts[sel][None]) ** 2, axis=-1)
+            return np.sqrt(d2.min(axis=1).max())
+
+        for b in range(3):
+            assert got[b, 0] == want[b, 0] == 0
+            assert len(set(got[b].tolist())) == 64, "duplicate selection"
+            cr_got = coverage_radius(xyz[b], got[b])
+            cr_want = coverage_radius(xyz[b], want[b])
+            assert cr_got <= cr_want * (1 + 1e-2) + 1e-3
 
 
 class TestBallQuery:
