@@ -30,6 +30,12 @@ def main(argv=None):
     parser.add_argument(
         "--task", default="inference", choices=["inference", "pseudo_labelling"]
     )
+    parser.add_argument(
+        "--point_sharded", action="store_true",
+        help="shard the POINT axis across devices (context-parallel "
+        "analogue for dense clouds) instead of the batch axis; requires "
+        "N, k1 and n_centroids1 divisible by the device count",
+    )
     ns_local, rest = parser.parse_known_args(argv)
     cfg, ns = parse_config(argv)
 
@@ -59,12 +65,22 @@ def main(argv=None):
 
     mesh = None
     n_dev = len(jax.devices())
-    if n_dev > 1 and cfg.train.batch_size % n_dev == 0:
-        from stratanet2_tpu.parallel import make_mesh
+    predict_step = None
+    if ns_local.point_sharded and n_dev > 1:
+        from stratanet2_tpu.inference.predict import make_point_sharded_predict_step
 
-        mesh = make_mesh()
-        logger.info("Using %d-device data-parallel inference mesh", n_dev)
-    predict_step = make_predict_step(cfg, mesh=mesh)
+        try:
+            predict_step = make_point_sharded_predict_step(cfg, n_dev)
+            logger.info("Using %d-device POINT-sharded inference mesh", n_dev)
+        except ValueError as e:
+            logger.warning("point sharding unavailable (%s); falling back", e)
+    if predict_step is None:
+        if n_dev > 1 and cfg.train.batch_size % n_dev == 0:
+            from stratanet2_tpu.parallel import make_mesh
+
+            mesh = make_mesh()
+            logger.info("Using %d-device data-parallel inference mesh", n_dev)
+        predict_step = make_predict_step(cfg, mesh=mesh)
     max_batches = 10 if cfg.mode == "DEV" else None
 
     while True:

@@ -52,6 +52,43 @@ def filter_dataset(dataset: Dict, is_pseudo_labelling: bool, min_points: int = 2
     return dataset
 
 
+def make_point_sharded_predict_step(cfg: Config, n_devices: int):
+    """Predict step with the POINT axis sharded across devices — the
+    context-parallel analogue for very dense clouds
+    (parallel/point_sharded.pointnet2_forward_point_sharded; SURVEY.md
+    §2.4). The sharded forward produces point-sharded coverages; the
+    projections run under the same jit and GSPMD inserts the gathers.
+
+    Requires N % d == 0, k1 % d == 0 and n_centroids1 % d == 0 — validated
+    here; callers fall back to `make_predict_step` otherwise."""
+    from stratanet2_tpu.parallel.point_sharded import (
+        make_mesh_2d,
+        pointnet2_forward_point_sharded,
+    )
+
+    mcfg = cfg.model
+    d = n_devices
+    if mcfg.subsample_size % d or mcfg.k1 % d or mcfg.n_centroids1 % d:
+        raise ValueError(
+            f"point sharding over {d} devices needs N({mcfg.subsample_size}), "
+            f"k1({mcfg.k1}) and n_centroids1({mcfg.n_centroids1}) divisible by it"
+        )
+    mesh = make_mesh_2d(1, d)
+
+    def step(model: PointNet2Params, cloud, xyz):
+        with mesh:
+            cov, _proba = pointnet2_forward_point_sharded(
+                model, cloud[..., 2:], xyz, cfg, mesh
+            )
+            rasters = batched_raster_projection(
+                cloud[..., :2], cov, mcfg.diam_pix, mcfg.diam_meters
+            )
+            pred_pl = plotwise_coverages(cov, cloud[..., :2], mcfg.diam_pix)
+            return rasters, pred_pl
+
+    return step
+
+
 def make_predict_step(cfg: Config, mesh=None):
     """Jitted forward + raster projection + plotwise coverages.
 
@@ -61,6 +98,8 @@ def make_predict_step(cfg: Config, mesh=None):
 
     @jax.jit
     def step(model: PointNet2Params, cloud, xyz):
+        cloud = cloud.astype(jnp.float32)
+        xyz = xyz.astype(jnp.float32)
         cov, proba, _ = pointnet2_forward(model, cloud[..., 2:], xyz, mcfg, train=False)
         rasters = batched_raster_projection(
             cloud[..., :2], cov, mcfg.diam_pix, mcfg.diam_meters

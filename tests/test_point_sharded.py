@@ -2,6 +2,8 @@
 virtual mesh: sharded results must equal the single-device ops exactly."""
 
 import numpy as np
+import pytest
+
 import jax
 import jax.numpy as jnp
 
@@ -107,3 +109,54 @@ class TestPointShardedForward:
 
     def test_forward_matches_unsharded_1x8(self, rng):
         self._run(rng, db=1, dp=8)
+
+    def test_point_sharded_predict_step_matches_plain(self, rng):
+        """The CLI-reachable point-sharded predict step (predict
+        --point_sharded) matches the plain step: sharded forward + standard
+        projections under one jit (r2 weak #7 — previously a library-only
+        capability)."""
+        from dataclasses import replace
+
+        from tests.synthetic import tiny_config
+        from stratanet2_tpu.inference.predict import (
+            make_point_sharded_predict_step,
+            make_predict_step,
+        )
+        from stratanet2_tpu.models import init_pointnet2
+
+        cfg = tiny_config()
+        cfg = replace(
+            cfg,
+            model=replace(
+                cfg.model, subsample_size=512, fps_parts=8,
+                fps_min_part_samples=1,
+            ),
+        )
+        model = init_pointnet2(jax.random.PRNGKey(0), cfg.model)
+        b, n = 2, cfg.model.subsample_size
+        cloud = jnp.asarray(rng.uniform(0, 1, (b, n, 10)).astype(np.float32))
+        xyz = jnp.asarray(rng.uniform(-9, 9, (b, n, 3)).astype(np.float32))
+
+        plain = make_predict_step(cfg)
+        sharded = make_point_sharded_predict_step(cfg, 8)
+        r0, p0 = plain(model, cloud, xyz)
+        r1, p1 = sharded(model, cloud, xyz)
+        np.testing.assert_allclose(
+            np.asarray(p1), np.asarray(p0), rtol=1e-5, atol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(r1), np.asarray(r0), rtol=1e-5, atol=1e-6
+        )
+
+    def test_point_sharded_predict_step_validates_divisibility(self):
+        from dataclasses import replace
+
+        from tests.synthetic import tiny_config
+        from stratanet2_tpu.inference.predict import (
+            make_point_sharded_predict_step,
+        )
+
+        cfg = tiny_config()
+        cfg = replace(cfg, model=replace(cfg.model, subsample_size=500))
+        with pytest.raises(ValueError, match="divisible"):
+            make_point_sharded_predict_step(cfg, 8)
