@@ -130,6 +130,24 @@ def main():
     print(f"val MAE after {ns.epochs} epochs: {final_mae:.4f}")
     print(f"predict-the-mean baseline:       {baseline:.4f}")
     print(f"train loss first->last: {train_losses[0]['MAE_loss']:.4f} -> {train_losses[-1]['MAE_loss']:.4f}")
+    import json
+
+    print(
+        "LEARNABILITY_SUMMARY "
+        + json.dumps(
+            {
+                "seed": ns.seed,
+                "policy": ns.ball_query_method,
+                "epochs": ns.epochs,
+                "n_plots": ns.n_plots,
+                "val_MAE": float(final_mae),
+                "baseline_MAE": float(baseline),
+                "train_MAE_first": float(train_losses[0]["MAE_loss"]),
+                "train_MAE_last": float(train_losses[-1]["MAE_loss"]),
+            }
+        ),
+        flush=True,
+    )
     assert final_mae < baseline, "model failed to beat the mean-predictor baseline"
     print("LEARNABILITY CHECK PASSED")
 
