@@ -83,11 +83,15 @@ def main(argv=None):
         predict_step = make_predict_step(cfg, mesh=mesh)
     max_batches = 10 if cfg.mode == "DEV" else None
 
+    # Parcels whose prediction wrote NO output this run (e.g. every plot
+    # invalid -> "Nothing to merge"): the worklist diff would re-offer them
+    # forever, so track attempts and skip.
+    attempted: set = set()
     while True:
         unprocessed = [
             f
             for f in get_unprocessed_files(input_folder, output_folder)
-            if f.endswith(".pkl")
+            if f.endswith(".pkl") and stem(f) not in attempted
         ]
         if not unprocessed:
             logger.info("No more prepared parcel to predict on in %s", input_folder)
@@ -95,6 +99,7 @@ def main(argv=None):
         logger.info("N=%d prepared parcels to process.", len(unprocessed))
         filename = unprocessed.pop(0)
         parcel_id = stem(filename)
+        attempted.add(parcel_id)
 
         with open(filename, "rb") as f:
             dataset = pickle.load(f)

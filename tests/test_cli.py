@@ -170,3 +170,35 @@ class TestPipeline:
         ssl_id = os.path.basename(ssl_path.rstrip("/"))
         stats2 = train_main(args + ["--PT_model_id", ssl_id])
         assert os.path.exists(os.path.join(stats2, "PCC_model_fold_n=1.pt"))
+
+    def test_predict_worklist_terminates_on_no_output_parcel(
+        self, data_tree, experiments, trained, monkeypatch
+    ):
+        """PROD-mode regression: a parcel whose prediction writes NO output
+        (all plots invalid -> 'Nothing to merge') must not be re-offered by
+        the worklist diff forever."""
+        import stratanet2_tpu.cli.predict as P
+
+        out_tif = (
+            data_tree / "parcelles_dataset_20m" / "inference"
+            / os.path.basename(trained.rstrip("/")) / "PARCELA.tif"
+        )
+        if out_tif.exists():
+            out_tif.unlink()  # make PARCELA unprocessed again
+
+        calls = []
+
+        def stub_predict_parcel(*a, **kw):
+            calls.append(1)
+            if len(calls) > 2:
+                raise RuntimeError("worklist re-offered a no-output parcel")
+            return None  # nothing written
+
+        monkeypatch.setattr(P, "predict_parcel", stub_predict_parcel)
+        monkeypatch.setattr(
+            P, "update_shapefile_with_predictions", lambda *a, **kw: ""
+        )
+        args = [a if a != "DEV" else "PROD" for a in _common_args(data_tree, experiments)]
+        model_id = os.path.basename(trained.rstrip("/"))
+        P.main(args + ["--task", "inference", "--inference_model_id", model_id])
+        assert len(calls) == 1
