@@ -330,8 +330,12 @@ def _knn_pallas_raw(x_src, pos_src, pos_tgt, k: int, tc: int = 0):
     if tc <= 0:
         # adapt the target tile to VMEM: the kernel holds the (tc, S)
         # distance tile plus a same-size one-hot per argmin pass (~3 live
-        # (tc, S) f32 buffers) and the (S, F) feature table.
-        budget = 10 * 2**20
+        # (tc, S) f32 buffers) and the (S, F) feature table. 16e6 is
+        # empirically calibrated against the 16 MB scoped-vmem limit
+        # (s=2500: tc=512 compiles, tc=768 OOMs; measured r3: tc 256->512
+        # cuts PROD FP1 6.6 -> 5.2 ms — per-chunk fixed work dominates
+        # the loss from smaller tiles).
+        budget = 16_000_000
         tc = max(128, min(1024, (budget // (s * 4 * 3)) // 128 * 128))
     tc = min(tc, t)
     tpad = _round_up(t, tc)
