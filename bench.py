@@ -184,7 +184,14 @@ def main():
     cloud = jax.random.uniform(k1, (batch, n, mcfg.n_input_feats - 2), jnp.float32)
     xyz = jax.random.uniform(k2, (batch, n, 3), jnp.float32, minval=-10.0, maxval=10.0)
 
-    iters = 20 if on_tpu else 2
+    # 200 chained iterations: the axon relay charges a fixed ~33 ms on the
+    # final scalar fetch regardless of device work; at 20 iters that fixed
+    # cost inflated the per-iter time by ~50% (measured r3: 20 iters ->
+    # 5.02 ms/iter "throughput" vs 200 iters -> 3.36 ms/iter, which matches
+    # the step trace's 3.38 ms of device ops). Steady-state serving
+    # dispatches many batches before any fetch (inference/predict.py), so
+    # the amortized number is the honest one.
+    iters = 200 if on_tpu else 2
 
     # Chain iterations through a data dependence inside one jitted program and
     # fetch a scalar: measures pure device throughput and is robust to
@@ -203,9 +210,11 @@ def main():
         return acc
 
     float(many(model.params, model.state, cloud, xyz))  # compile + warmup
-    t0 = time.perf_counter()
-    float(many(model.params, model.state, cloud, xyz))  # forces full sync
-    dt = time.perf_counter() - t0
+    dt = float("inf")  # best-of-3: relay latency fluctuates (CLAUDE.md)
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(many(model.params, model.state, cloud, xyz))  # forces full sync
+        dt = min(dt, time.perf_counter() - t0)
 
     points_per_sec = batch * n * iters / dt
     print(
