@@ -203,14 +203,22 @@ def make_device_sampler(mcfg: ModelConfig, train: bool):
     return sample
 
 
-def make_device_epoch(cfg: Config, train_step_fn):
+def make_device_epoch(cfg: Config, train_step_fn, mesh=None):
     """One WHOLE training epoch as a single jitted program: lax.scan over
     the per-batch (sample -> train step) body. Host sends the shuffled
     (n_batches, B) plot-index table + one key; receives summed loss
     components once.
 
     `train_step_fn` is the un-jitted step body from make_train_step (the
-    scan jit subsumes the per-call jit)."""
+    scan jit subsumes the per-call jit).
+
+    With `mesh`, the epoch runs data-parallel: the (small, ~60 MB) dataset
+    and the model replicate, the idx table's BATCH column shards across
+    devices, and GSPMD propagates the batch sharding through sampling +
+    forward and inserts the gradient all-reduce (psum over ICI) where the
+    loss mean crosses the batch axis — the device-resident analogue of the
+    per-batch DP path in learning/train.train_one_epoch. Requires
+    batch_size % n_devices == 0."""
 
     mcfg = cfg.model
 
@@ -240,7 +248,25 @@ def make_device_epoch(cfg: Config, train_step_fn):
         sums = jax.tree_util.tree_map(lambda a: jnp.sum(a, axis=0), comps_all)
         return ts, sums
 
-    return jax.jit(epoch, donate_argnums=(0,))
+    if mesh is None:
+        return jax.jit(epoch, donate_argnums=(0,))
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from stratanet2_tpu.parallel.mesh import BATCH_AXIS
+
+    assert cfg.train.batch_size % mesh.devices.size == 0, (
+        f"batch_size {cfg.train.batch_size} must divide over "
+        f"{mesh.devices.size} devices"
+    )
+    rep = NamedSharding(mesh, P())
+    idx_sh = NamedSharding(mesh, P(None, BATCH_AXIS))  # (nb, B) table
+    return jax.jit(
+        epoch,
+        donate_argnums=(0,),
+        in_shardings=(rep, rep, rep, rep, rep, idx_sh, rep),
+        out_shardings=(rep, rep),
+    )
 
 
 def epoch_index_table(

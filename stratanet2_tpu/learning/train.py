@@ -315,9 +315,13 @@ def train_full(
     eval_step = make_eval_step(cfg, kde)
 
     # Device-resident data path: dataset uploaded once, augmentation +
-    # subsampling + the whole epoch's steps run as one compiled scan
-    # (single-device only; the DP mesh path keeps the host loader).
-    device_data = cfg.data.device_resident and mesh is None
+    # subsampling + the whole epoch's steps run as one compiled scan.
+    # Composes with a DP mesh (dataset/model replicated, batch column of
+    # the index table sharded, GSPMD inserts the gradient psum) when the
+    # batch divides over the devices.
+    device_data = cfg.data.device_resident and (
+        mesh is None or cfg.train.batch_size % mesh.devices.size == 0
+    )
     if device_data:
         from stratanet2_tpu.data.device_dataset import (
             build_device_dataset,
@@ -326,12 +330,14 @@ def train_full(
 
         dd = build_device_dataset(dataset, list(train_ids), cfg.model)
         epoch_fn = make_device_epoch(
-            cfg, make_train_step(cfg, optimizer, kde, jit=False)
+            cfg, make_train_step(cfg, optimizer, kde, jit=False), mesh=mesh
         )
         logger.info(
-            "Device-resident dataset: %d plots x %d rows (%.1f MB HBM)",
+            "Device-resident dataset: %d plots x %d rows (%.1f MB HBM)%s",
             dd.feats.shape[0], dd.feats.shape[1],
             (dd.feats.size + dd.xyz.size) * 4 / 1e6,
+            f", data-parallel over {mesh.devices.size} devices"
+            if mesh is not None else "",
         )
     else:
         train_step = make_train_step(cfg, optimizer, kde)

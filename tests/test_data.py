@@ -295,3 +295,56 @@ class TestDeviceDataset:
         import os
 
         assert os.path.exists(tmp_path / "PCC_model_fold_n=1.pt")
+
+    def test_device_epoch_dp_matches_single(self, tmp_path):
+        """make_device_epoch(mesh=...) over a 4-device batch-sharded mesh
+        reproduces the single-device epoch exactly (same RNG streams; GSPMD
+        only changes the reduction placement)."""
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from tests.synthetic import make_plot_dataset, tiny_config
+        from stratanet2_tpu.data.device_dataset import (
+            build_device_dataset,
+            epoch_index_table,
+            make_device_epoch,
+        )
+        from stratanet2_tpu.learning.kde import fit_kde_mixture_from_dataset
+        from stratanet2_tpu.learning.train import (
+            init_train_state,
+            make_optimizer,
+            make_train_step,
+        )
+        from stratanet2_tpu.parallel.mesh import make_mesh
+
+        cfg = tiny_config()
+        ds = make_plot_dataset(np.random.default_rng(9), n_plots=8, n_points=300)
+        kde = fit_kde_mixture_from_dataset(ds)
+        pids = sorted(ds.keys())
+        dd = build_device_dataset(ds, pids, cfg.model)
+        optimizer = make_optimizer(cfg, steps_per_epoch=2)
+        step = make_train_step(cfg, optimizer, kde, jit=False)
+
+        idx = jnp.asarray(epoch_index_table(len(pids), cfg.train.batch_size, 0, 1))
+        key = jax.random.PRNGKey(11)
+
+        ts1 = init_train_state(cfg, optimizer, seed=3)
+        ef1 = make_device_epoch(cfg, step)
+        ts1, sums1 = ef1(ts1, dd.feats, dd.xyz, dd.n, dd.coverages, idx, key)
+
+        mesh = make_mesh(4)
+        ts2 = init_train_state(cfg, optimizer, seed=3)
+        ef2 = make_device_epoch(cfg, step, mesh=mesh)
+        ts2, sums2 = ef2(ts2, dd.feats, dd.xyz, dd.n, dd.coverages, idx, key)
+
+        for k_, v in jax.device_get(sums1).items():
+            np.testing.assert_allclose(
+                v, jax.device_get(sums2)[k_], rtol=2e-5, atol=1e-6, err_msg=k_
+            )
+        p1 = jax.device_get(ts1.params)
+        p2 = jax.device_get(ts2.params)
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(a, b, rtol=2e-4, atol=1e-6),
+            p1, p2,
+        )
