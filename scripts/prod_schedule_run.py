@@ -68,6 +68,10 @@ def run_fold(
 ) -> None:
     from dataclasses import replace
 
+    from stratanet2_tpu.utils.experiment import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from stratanet2_tpu.config import Config
     from stratanet2_tpu.learning.kde import fit_kde_mixture_from_dataset
     from stratanet2_tpu.learning.train import train_full

@@ -31,6 +31,9 @@ from stratanet2_tpu.utils.experiment import (
 
 
 def main(argv=None):
+    from stratanet2_tpu.utils.experiment import enable_compilation_cache
+
+    enable_compilation_cache()
     cfg, ns = parse_config(argv)
     dev = cfg.mode == "DEV"
     # SSL schedule defaults (main_SSL.py:46-52); CLI overrides still win.

@@ -26,6 +26,9 @@ from stratanet2_tpu.utils.worklist import get_unprocessed_files, stem
 
 
 def main(argv=None):
+    from stratanet2_tpu.utils.experiment import enable_compilation_cache
+
+    enable_compilation_cache()
     parser = argparse.ArgumentParser(description="predict", add_help=False)
     parser.add_argument(
         "--task", default="inference", choices=["inference", "pseudo_labelling"]

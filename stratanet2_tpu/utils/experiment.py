@@ -28,6 +28,38 @@ def setup_experiment_folder(experiments_path: str, task: str, mode: str) -> str:
     return stats_path
 
 
+def enable_compilation_cache(cache_dir: Optional[str] = None) -> None:
+    """Persistent XLA compilation cache for the CLI entry points.
+
+    The PROD train-step + eval-step compiles cost ~130 s + ~78 s on the
+    v5e; cross-validation runs one process per fold, so without this every
+    fold repays both. The cache is keyed on backend + program + flags, so
+    folds 2..K (and re-runs, and kill+resume) hit it. Opt out with
+    STRATANET2_NO_COMPILE_CACHE=1; override the location with
+    STRATANET2_COMPILE_CACHE."""
+    if os.environ.get("STRATANET2_NO_COMPILE_CACHE"):
+        return
+    import jax
+
+    path = (
+        cache_dir
+        or os.environ.get("STRATANET2_COMPILE_CACHE")
+        or os.path.join(
+            os.environ.get("XDG_CACHE_HOME", os.path.expanduser("~/.cache")),
+            "stratanet2_jax",
+        )
+    )
+    try:
+        os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        jax.config.update("jax_persistent_cache_enable_xla_caches", "all")
+    except Exception as err:  # cache is an optimization, never fatal
+        logging.getLogger("stratanet2_tpu").warning(
+            "compilation cache unavailable: %s", err
+        )
+
+
 def create_logger(stats_path: str) -> logging.Logger:
     """stdout + stats.txt logger (utils/utils.py:12-22)."""
     logger = logging.getLogger("stratanet2_tpu")

@@ -163,3 +163,24 @@ class TestResume:
             ds, ids[:6], ids[6:], cfg4, kde, str(tmp_path), sink, fold_id=1, resume=True
         )
         assert [d["epoch"] for d in train_losses] == [3, 4]
+
+
+class TestCompilationCache:
+    def test_enable_and_opt_out(self, tmp_path, monkeypatch):
+        import jax
+
+        from stratanet2_tpu.utils.experiment import enable_compilation_cache
+
+        monkeypatch.delenv("STRATANET2_NO_COMPILE_CACHE", raising=False)
+        d = str(tmp_path / "cc")
+        enable_compilation_cache(d)
+        assert jax.config.jax_compilation_cache_dir == d
+        import os
+
+        assert os.path.isdir(d)
+        # opt-out leaves the current setting untouched
+        monkeypatch.setenv("STRATANET2_NO_COMPILE_CACHE", "1")
+        enable_compilation_cache(str(tmp_path / "other"))
+        assert jax.config.jax_compilation_cache_dir == d
+        # restore the suite-wide cache dir (conftest)
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
