@@ -52,12 +52,19 @@ def batchnorm(
     x: jax.Array,
     mask: Optional[jax.Array],
     train: bool,
+    axis_names=None,
 ) -> Tuple[jax.Array, Params]:
     """Masked BatchNorm1d over all leading axes of x (..., C).
 
     mask: broadcastable to x.shape[:-1]; True entries contribute to stats.
     Matches torch semantics: normalization by biased batch variance, running
     variance stored unbiased, momentum 0.1 (torch BatchNorm1d defaults).
+
+    axis_names: mesh axis name(s) inside `shard_map` — batch statistics
+    psum across those device axes so sharded training normalizes with the
+    GLOBAL batch stats (point-sharded training, parallel/point_sharded.py).
+    Summing replicated data over an axis scales sums and counts by the
+    same factor, so it is safe to name an axis the data is replicated on.
     """
     if train:
         # Shifted one-pass stats: var = E[(x-c)^2] - E[x-c]^2 with c = the
@@ -73,13 +80,20 @@ def batchnorm(
         axes = tuple(range(xf.ndim - 1))
         if mask is None:
             n = jnp.float32(xf.size // xf.shape[-1])
-            dmean = jnp.sum(xc, axis=axes) / n
-            sq = jnp.sum(xc * xc, axis=axes) / n
+            dsum = jnp.sum(xc, axis=axes)
+            sqsum = jnp.sum(xc * xc, axis=axes)
         else:
             m = mask.astype(jnp.float32)[..., None]
-            n = jnp.maximum(jnp.sum(m), 1.0)
-            dmean = jnp.sum(xc * m, axis=axes) / n
-            sq = jnp.sum(xc * xc * m, axis=axes) / n
+            n = jnp.sum(m)
+            dsum = jnp.sum(xc * m, axis=axes)
+            sqsum = jnp.sum(xc * xc * m, axis=axes)
+        if axis_names:
+            n = jax.lax.psum(n, axis_names)
+            dsum = jax.lax.psum(dsum, axis_names)
+            sqsum = jax.lax.psum(sqsum, axis_names)
+        n = jnp.maximum(n, 1.0)
+        dmean = dsum / n
+        sq = sqsum / n
         mean = dmean + shift
         var = jnp.maximum(sq - dmean * dmean, 0.0)
         unbiased = var * n / jnp.maximum(n - 1.0, 1.0)
@@ -114,12 +128,13 @@ def mlp(
     mask: Optional[jax.Array] = None,
     train: bool = False,
     compute_dtype=jnp.float32,
+    axis_names=None,
 ) -> Tuple[jax.Array, Params]:
     new_states: List[Params] = []
     for layer_p, layer_s in zip(p["layers"], s["layers"]):
         x = linear(layer_p["linear"], x, compute_dtype)
         x = jax.nn.relu(x)
-        x, ns = batchnorm(layer_p["bn"], layer_s, x, mask, train)
+        x, ns = batchnorm(layer_p["bn"], layer_s, x, mask, train, axis_names)
         new_states.append(ns)
     return x, {"layers": new_states}
 

@@ -107,6 +107,7 @@ def _sa_module(
     preproject: bool = False,
     fps_parts: int = 1,
     fps_min_part_samples: int = 256,
+    axis_names=None,
 ) -> Tuple[jax.Array, jax.Array, Params]:
     """Set-abstraction: FPS -> ball query -> PointConv-style shared MLP ->
     masked max (reference SAModule, model/point_net2.py:14-29).
@@ -128,6 +129,7 @@ def _sa_module(
     q_bytes = k * (ch1 + 8) * (-(-g // 128) * 128) * 4
     fused_ok = (
         (not train)
+        and axis_names is None
         and use_pallas
         and bq_method == "grouped"
         and len(p["layers"]) <= 2
@@ -143,6 +145,7 @@ def _sa_module(
 
     train_fused_ok = (
         train
+        and axis_names is None
         and use_pallas
         and bq_method == "grouped"
         and len(p["layers"]) <= 2
@@ -188,11 +191,15 @@ def _sa_module(
         cterm = jnp.einsum("bcd,dk->bck", centroids.astype(jnp.float32), w1[f:])
         cterm_e = cterm[:, None, :, :] if k_axis == 1 else cterm[:, :, None, :]
         h = jax.nn.relu(_gather(q, nbr_idx) - cterm_e)
-        h, bn1_state = nn.batchnorm(l1["bn"], s["layers"][0], h, nbr_mask, train)
+        h, bn1_state = nn.batchnorm(
+            l1["bn"], s["layers"][0], h, nbr_mask, train, axis_names
+        )
         new_layer_states = [bn1_state]
         for layer_p, layer_s in zip(p["layers"][1:], s["layers"][1:]):
             h = jax.nn.relu(nn.linear(layer_p["linear"], h, compute_dtype))
-            h, ns2 = nn.batchnorm(layer_p["bn"], layer_s, h, nbr_mask, train)
+            h, ns2 = nn.batchnorm(
+                layer_p["bn"], layer_s, h, nbr_mask, train, axis_names
+            )
             new_layer_states.append(ns2)
         new_s = {"layers": new_layer_states}
     else:
@@ -210,7 +217,8 @@ def _sa_module(
         offset_e = offset[:, None, :, :] if k_axis == 1 else offset[:, :, None, :]
         h = both - offset_e
         h, new_s = nn.mlp(
-            p, s, h, mask=nbr_mask, train=train, compute_dtype=compute_dtype
+            p, s, h, mask=nbr_mask, train=train, compute_dtype=compute_dtype,
+            axis_names=axis_names,
         )
     neg = jnp.asarray(-1e30, h.dtype)
     h = jnp.where(nbr_mask[..., None], h, neg)

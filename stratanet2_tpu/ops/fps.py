@@ -104,7 +104,14 @@ def _fps_lax(xyz: jax.Array, n_samples: int, start_idx: jax.Array) -> jax.Array:
         idxs = idxs.at[i].set(nxt)
         return min_d2, idxs, nxt
 
-    idxs0 = jnp.zeros((n_samples,), jnp.int32).at[0].set(start_idx)
-    min_d2 = jnp.full((n,), jnp.inf, jnp.float32)
-    _, idxs, _ = jax.lax.fori_loop(1, n_samples, body, (min_d2, idxs0, start_idx))
+    # carry inits derive from xyz so their varying-axes type matches the
+    # loop outputs under shard_map's VMA tracking (check_vma=True —
+    # parallel/point_sharded.make_point_sharded_train_step); zeros_like on
+    # a constant would be device-invariant and fail the scan typecheck
+    zero = (xyz[0, 0] * 0).astype(jnp.int32)
+    idxs0 = (jnp.zeros((n_samples,), jnp.int32) + zero).at[0].set(start_idx)
+    min_d2 = xyz[:, 0] * 0 + jnp.inf
+    _, idxs, _ = jax.lax.fori_loop(
+        1, n_samples, body, (min_d2, idxs0, start_idx + zero)
+    )
     return idxs

@@ -31,6 +31,20 @@ from jax.experimental.pallas import tpu as pltpu
 _LANE = 128
 
 
+def _sds(shape, dtype, like=None):
+    """ShapeDtypeStruct that inherits the varying-axes type (vma) of `like`
+    when tracing under shard_map(check_vma=True) — pallas outputs must
+    declare how they vary across mesh axes
+    (parallel/point_sharded.make_point_sharded_train_step)."""
+    try:
+        vma = jax.typeof(like).vma if like is not None else None
+    except (AttributeError, TypeError):
+        vma = None
+    if vma:
+        return jax.ShapeDtypeStruct(shape, dtype, vma=vma)
+    return jax.ShapeDtypeStruct(shape, dtype)
+
+
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
@@ -452,7 +466,7 @@ def _knn_scatter_pallas(idx, w, g, s: int):
         out_specs=pl.BlockSpec(
             (1, f, spad), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((b, f, spad), jnp.float32),
+        out_shape=_sds((b, f, spad), jnp.float32, like=gt),
         interpret=jax.default_backend() != "tpu",
     )(idx, w.astype(jnp.float32), gt)
     return jnp.swapaxes(out, 1, 2)[:, :s]
@@ -478,6 +492,10 @@ def gather_rows_raw(x: jax.Array, idx: jax.Array) -> jax.Array:
 
 
 @jax.custom_vjp
+def _gather_rows_vjp(x: jax.Array, idx: jax.Array) -> jax.Array:
+    return gather_rows_raw(x, idx)
+
+
 def gather_rows(x: jax.Array, idx: jax.Array) -> jax.Array:
     """Batched gather: x (B, N, F), idx (B, ...) -> (B, ..., F).
 
@@ -485,8 +503,18 @@ def gather_rows(x: jax.Array, idx: jax.Array) -> jax.Array:
     lowers this to an efficient row gather on TPU, unlike the vmapped fancy
     index or take_along_axis forms (~10x slower, measured on v5e). The VJP
     is the MXU one-hot scatter (`scatter_add_pallas`): the default jnp.take
-    transpose is an XLA scatter-add, which serializes on TPU."""
-    return gather_rows_raw(x, idx)
+    transpose is an XLA scatter-add, which serializes on TPU.
+
+    Under shard_map(check_vma=True) (point-sharded training) the raw path
+    with the default XLA transpose is used instead: interpret-mode pallas
+    lowers block fetches as dynamic_slice with invariant grid indices,
+    which the VMA checker rejects against varying operands."""
+    try:
+        if jax.typeof(x).vma:
+            return gather_rows_raw(x, idx)
+    except (AttributeError, TypeError):
+        pass
+    return _gather_rows_vjp(x, idx)
 
 
 def _gather_rows_fwd(x, idx):
@@ -503,7 +531,7 @@ def _gather_rows_bwd(res, g):
     return dx.astype(token.dtype), None
 
 
-gather_rows.defvjp(_gather_rows_fwd, _gather_rows_bwd)
+_gather_rows_vjp.defvjp(_gather_rows_fwd, _gather_rows_bwd)
 
 
 @functools.lru_cache(maxsize=None)

@@ -350,3 +350,239 @@ def pointnet2_forward_point_sharded(
         check_rep=False,
     )
     return fn(p, s, cloud, xyz)
+
+
+# ---------------------------------------------------------------------------
+# point-sharded TRAINING step
+# ---------------------------------------------------------------------------
+
+
+def make_point_sharded_train_step(cfg, optimizer, kde, mesh: Mesh):
+    """Full training step (forward + plotwise projection + 3-term loss +
+    backward + Adam) with the POINT axis sharded — context-parallel
+    TRAINING, not just the eval forward.
+
+    Everything runs inside ONE `shard_map` over the (batch x points) mesh:
+
+      - SA1 runs sharded exactly like the eval plan (local FPS == the
+        partitioned-FPS approximation, per-shard grouped ball query ==
+        the global contiguous groups when N % k1 == 0), but the masked max
+        merges across shards with a DIFFERENTIABLE all_gather + max
+        (`lax.pmax` has no transpose rule; gather+max routes the cotangent
+        to the winning shard).
+      - BatchNorm uses GLOBAL batch statistics: masked sums/counts `psum`
+        across BOTH mesh axes (models/nn.batchnorm axis_names) — summing
+        data replicated on an axis scales sums and counts equally, so the
+        middle replicated stages (SA2..FP2) can use the same axis names.
+      - The plotwise projection computes local per-pixel maxima over the
+        shard and merges them with all_gather + max (exact: max is
+        associative), with the per-plot xy extent agreed across shards.
+      - Losses: the NLL / entropy means over points and the plot-level MAE
+        mean over the batch become `pmean`s (equal shard sizes make the
+        mean of local means exact).
+      - Gradients of the replicated params come out of the loss (already
+        replicated via pmean) identical on every device; optax applies the
+        same update everywhere, so the TrainState stays replicated by
+        value without an explicit sync.
+
+    Exactness vs the unsharded `make_train_step`: identical under the same
+    conditions as the eval forward (unsharded `fps_parts == dp`, `N % k1
+    == 0`); tested to fp32 tolerance on 2x4 and 1x8 virtual meshes.
+
+    Reference semantics: model/point_net2.py:106-153 (forward),
+    learning/train.py:53-66 (step); SURVEY.md §2.4 (context-parallel
+    analogue).
+    """
+    import functools
+
+    from stratanet2_tpu.models import nn
+    from stratanet2_tpu.models.pointnet2 import (
+        PointNet2Params,
+        _gather,
+        _sa_module,
+    )
+    from stratanet2_tpu.ops import farthest_point_sampling, knn_interpolate
+
+    mcfg = cfg.model
+    m_w, e_w = cfg.train.m, cfg.train.e
+    kde_grid = jnp.asarray(kde.grid)
+    kde_pdfs = jnp.asarray(kde.pdfs)
+
+    db = mesh.shape[BATCH_AXIS]
+    dp = mesh.shape[POINT_AXIS]
+    n = mcfg.subsample_size
+    assert n % dp == 0, f"N={n} must divide over {dp} point-shards"
+    assert mcfg.k1 % dp == 0, f"k1={mcfg.k1} must divide over {dp}"
+    assert mcfg.n_centroids1 % dp == 0
+    assert cfg.train.batch_size % db == 0
+    c1_local = mcfg.n_centroids1 // dp
+    k1_local = mcfg.k1 // dp
+    AX = (BATCH_AXIS, POINT_AXIS)
+
+    def fwd_local(params, state, x0, pos0):
+        """Sharded train forward: x0 (B_l, N_l, F), pos0 (B_l, N_l, 3) ->
+        (cov, proba) (B_l, N_l, 4) + new BN state (replicated by value)."""
+        new_s = dict(state)
+        bl = x0.shape[0]
+
+        # --- SA1 (sharded): local FPS -> replicated centroid set ---
+        idx_l = farthest_point_sampling(pos0, c1_local, use_pallas=mcfg.use_pallas)
+        cent_l = _gather(pos0, idx_l)  # (B_l, c1_local, 3)
+        cent1 = jax.lax.all_gather(cent_l, POINT_AXIS, axis=1).reshape(bl, -1, 3)
+        nbr_idx, nbr_mask = ball_query(
+            cent1, pos0, mcfg.r1, k1_local, chunk=mcfg.knn_chunk, method="grouped"
+        )
+        f = x0.shape[-1]
+        both = _gather(
+            jnp.concatenate([x0, pos0.astype(x0.dtype)], axis=-1), nbr_idx
+        )  # (B_l, C1, k1_local, F+3)
+        offset = jnp.pad(cent1.astype(both.dtype), ((0, 0), (0, 0), (f, 0)))
+        h = both - offset[:, :, None, :]
+        h, new_s["sa1"] = nn.mlp(
+            params["sa1"], state["sa1"], h, mask=nbr_mask, train=True,
+            axis_names=AX,
+        )
+        h = jnp.where(nbr_mask[..., None], h, jnp.asarray(-1e30, h.dtype))
+        loc_max = jnp.max(h, axis=2)  # (B_l, C1, F1) — local neighbor slots
+        x1 = jnp.max(
+            jax.lax.all_gather(loc_max, POINT_AXIS, axis=0), axis=0
+        )  # differentiable cross-shard max
+
+        # --- SA2 (replicated over points; BN stats psum over both axes) ---
+        x2, cent2, new_s["sa2"] = _sa_module(
+            params["sa2"], state["sa2"], x1, cent1, mcfg.n_centroids2,
+            mcfg.r2, mcfg.k2, True, jnp.float32, mcfg.use_pallas,
+            mcfg.knn_chunk, "grouped", preproject=True,
+            fps_parts=mcfg.fps_parts,
+            fps_min_part_samples=mcfg.fps_min_part_samples,
+            axis_names=AX,
+        )
+
+        # --- SA3 global + FP3 + FP2 (replicated; models/pointnet2.py) ---
+        h3, new_s["sa3"] = nn.mlp(
+            params["sa3"], state["sa3"],
+            jnp.concatenate([x2, cent2.astype(x2.dtype)], axis=-1),
+            train=True, axis_names=AX,
+        )
+        g = jnp.max(h3, axis=1)
+        h = jnp.concatenate(
+            [jnp.broadcast_to(g[:, None, :], (x2.shape[0], x2.shape[1], g.shape[-1])), x2],
+            axis=-1,
+        )
+        h, new_s["fp3"] = nn.mlp(params["fp3"], state["fp3"], h, train=True, axis_names=AX)
+        h = knn_interpolate(h, cent2, cent1, k=3, chunk=mcfg.knn_chunk, use_pallas=mcfg.use_pallas)
+        h = jnp.concatenate([h, x1], axis=-1)
+        h, new_s["fp2"] = nn.mlp(params["fp2"], state["fp2"], h, train=True, axis_names=AX)
+
+        # --- FP1 (sharded targets, replicated sources) + head ---
+        h_l = knn_interpolate(h, cent1, pos0, k=3, chunk=mcfg.knn_chunk, use_pallas=mcfg.use_pallas)
+        h_l = jnp.concatenate([h_l, x0], axis=-1)
+        h_l, new_s["fp1"] = nn.mlp(params["fp1"], state["fp1"], h_l, train=True, axis_names=AX)
+        h_l = jax.nn.relu(nn.linear(params["lin1"], h_l))
+        scores = nn.linear(params["lin2"], h_l)
+        proba = jax.nn.softmax(scores[..., : mcfg.n_class], axis=-1)
+        density = jax.nn.sigmoid(scores[..., mcfg.n_class :])
+        return proba * density, proba, new_s
+
+    def plotwise_local(cov, xy):
+        """Sharded plotwise coverages (ops.plotwise_coverages math,
+        model/project_to_2d.py:7-55): local per-pixel max, gather+max
+        merge (differentiable)."""
+        diam_pix = mcfg.diam_pix
+        mn = jnp.min(jax.lax.all_gather(jnp.min(xy, axis=1), POINT_AXIS, axis=0), axis=0)
+        mx = jnp.max(jax.lax.all_gather(jnp.max(xy, axis=1), POINT_AXIS, axis=0), axis=0)
+        b = jnp.floor(
+            (xy - mn[:, None]) / (mx - mn + 1e-4)[:, None] * diam_pix
+        ).astype(jnp.int32)
+        b = jnp.clip(b, 0, diam_pix - 1)
+        pix = b[..., 0] * diam_pix + b[..., 1]  # (B_l, N_l)
+        n_seg = diam_pix * diam_pix
+        seg = jnp.arange(n_seg, dtype=jnp.int32)
+        mask = pix[:, None, :] == seg[None, :, None]  # (B_l, P^2, N_l)
+        neg = jnp.float32(-1e30)
+        pix_max = jnp.max(
+            jnp.where(mask[..., None], cov[:, None], neg), axis=2
+        )  # (B_l, P^2, 4)
+        occ_l = jnp.any(mask, axis=2)
+        pix_max = jax.lax.all_gather(pix_max, POINT_AXIS, axis=0).max(axis=0)
+        occ = (
+            jax.lax.all_gather(occ_l, POINT_AXIS, axis=0).any(axis=0)
+        )  # (B_l, P^2)
+        pix_max = jnp.where(occ[..., None], pix_max, 0.0)
+        n_occ = jnp.maximum(jnp.sum(occ.astype(jnp.float32), axis=1), 1.0)
+        low = pix_max[..., 0]
+        bare = jnp.where(occ, 1.0 - low, 0.0)
+        sums = jnp.stack(
+            [low.sum(1), bare.sum(1), pix_max[..., 2].sum(1), pix_max[..., 3].sum(1)],
+            axis=1,
+        )
+        return sums / n_occ[:, None]
+
+    def step_local(ts, cloud_l, xyz_l, gt_l, rng):
+        from stratanet2_tpu.learning.losses import (
+            EPS,
+            STRATA_IDX,
+            nll_loss,
+        )
+
+        cloud_l = cloud_l.astype(jnp.float32)
+        xyz_l = xyz_l.astype(jnp.float32)
+        gt_l = gt_l.astype(jnp.float32)
+
+        def loss_fn(params):
+            cov, proba, new_state = fwd_local(
+                params, ts.model_state, cloud_l[..., 2:], xyz_l
+            )
+            pred_pl = plotwise_local(cov, cloud_l[..., :2])
+            idx = jnp.asarray(STRATA_IDX)
+            d = pred_pl[:, idx] - gt_l[:, idx]
+            # pmean over BOTH axes: the value is already identical across
+            # point-shards, but VMA tracking types all_gather+max results
+            # as points-varying — the extra pmean is an identity by value
+            # and makes the replication statically checkable
+            l_abs = jax.lax.pmean(jnp.mean(jnp.sqrt(d * d + EPS)), AX)
+            z_m = cloud_l[..., 2] * mcfg.z_max
+            l_nll_local, _aux = nll_loss(proba, z_m, kde_grid, kde_pdfs)
+            l_nll = jax.lax.pmean(l_nll_local, AX)
+            p2 = proba[..., 2:]
+            l_e_local = -jnp.mean(
+                p2 * jnp.log(p2 + EPS) + (1 - p2) * jnp.log(1 - p2 + EPS)
+            )
+            l_e = jax.lax.pmean(l_e_local, AX)
+            loss = l_abs + m_w * l_nll + e_w * l_e
+            comps = {
+                "total_loss": loss,
+                "MAE_loss": l_abs,
+                "log_loss": l_nll,
+                "entropy_loss": l_e,
+            }
+            return loss, (comps, new_state)
+
+        (_, (comps, new_state)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(ts.params)
+        updates, new_opt = optimizer.update(grads, ts.opt_state, ts.params)
+        import optax
+
+        new_params = optax.apply_updates(ts.params, updates)
+        return type(ts)(new_params, new_state, new_opt, ts.step + 1), comps
+
+    # check_rep/check_vma must stay ON here: with replication tracking
+    # disabled, differentiating THROUGH psum/pmean inside the local
+    # function silently overcounts gradients by the device count (the
+    # transpose loses the dividing pbroadcast) — measured 1-7x inflated
+    # grads on every BN path before this was enabled.
+    step = shard_map(
+        step_local,
+        mesh=mesh,
+        in_specs=(
+            P(),
+            P(BATCH_AXIS, POINT_AXIS, None),
+            P(BATCH_AXIS, POINT_AXIS, None),
+            P(BATCH_AXIS, None),
+            P(),
+        ),
+        out_specs=(P(), P()),
+        check_rep=True,
+    )
+    return jax.jit(step, donate_argnums=(0,))

@@ -160,3 +160,94 @@ class TestPointShardedForward:
         cfg = replace(cfg, model=replace(cfg.model, subsample_size=500))
         with pytest.raises(ValueError, match="divisible"):
             make_point_sharded_predict_step(cfg, 8)
+
+
+class TestPointShardedTrainStep:
+    """Context-parallel TRAINING: the point-sharded train step (forward +
+    projection + 3-term loss + backward + Adam inside one shard_map)
+    reproduces the unsharded make_train_step under the eval-forward
+    exactness conditions (unsharded fps_parts == dp, N % k1 == 0)."""
+
+    def _run(self, rng, db, dp):
+        from dataclasses import replace
+
+        from tests.synthetic import tiny_config
+        from stratanet2_tpu.learning.kde import fit_kde_mixture
+        from stratanet2_tpu.learning.train import (
+            init_train_state,
+            make_optimizer,
+            make_train_step,
+        )
+        from stratanet2_tpu.parallel.point_sharded import (
+            make_mesh_2d,
+            make_point_sharded_train_step,
+        )
+
+        cfg = tiny_config()
+        cfg = replace(
+            cfg,
+            model=replace(
+                cfg.model, subsample_size=512, fps_parts=dp,
+                fps_min_part_samples=1,
+            ),
+            train=replace(cfg.train, batch_size=2 * db),
+        )
+        mcfg = cfg.model
+        assert mcfg.subsample_size % mcfg.k1 == 0
+
+        kde = fit_kde_mixture(np.random.default_rng(0).uniform(0, 20, 2000))
+        # SGD, not Adam: Adam's first update is ~sign(grad)*lr, so fp-noise
+        # sign flips on near-zero gradients dominate a params comparison;
+        # with SGD the param delta IS -lr*grad, directly comparable.
+        import optax
+
+        optimizer = optax.sgd(0.05)
+        b, n = cfg.train.batch_size, mcfg.subsample_size
+        cloud = jnp.asarray(rng.uniform(0, 1, (b, n, 10)).astype(np.float32))
+        xyz = jnp.asarray(rng.uniform(-10, 10, (b, n, 3)).astype(np.float32))
+        gt = jnp.asarray(rng.uniform(0, 1, (b, 4)).astype(np.float32))
+        key = jax.random.PRNGKey(7)
+
+        ts_ref = init_train_state(cfg, optimizer, seed=3)
+        step_ref = make_train_step(cfg, optimizer, kde)
+        ts_ref, comps_ref = step_ref(ts_ref, cloud, xyz, gt, key)
+
+        mesh = make_mesh_2d(db, dp)
+        ts_sh = init_train_state(cfg, optimizer, seed=3)
+        step_sh = make_point_sharded_train_step(cfg, optimizer, kde, mesh)
+        with mesh:
+            ts_sh, comps_sh = step_sh(ts_sh, cloud, xyz, gt, key)
+
+        comps_ref = jax.device_get(comps_ref)
+        comps_sh = jax.device_get(comps_sh)
+        for k in ("total_loss", "MAE_loss", "log_loss", "entropy_loss"):
+            np.testing.assert_allclose(
+                comps_sh[k], comps_ref[k], rtol=2e-5, atol=1e-6, err_msg=k
+            )
+        ts0 = init_train_state(cfg, optimizer, seed=3)
+        jax.tree_util.tree_map(
+            lambda a, b_, p0: np.testing.assert_allclose(
+                np.asarray(a) - np.asarray(p0),
+                np.asarray(b_) - np.asarray(p0),
+                rtol=2e-3, atol=5e-7,
+            ),
+            jax.device_get(ts_sh.params), jax.device_get(ts_ref.params),
+            jax.device_get(ts0.params),
+        )
+        # BN running stats pooled identically. rtol 3e-3: the shifted
+        # one-pass variance cancels catastrophically on the FIRST step
+        # (shift = initial running mean = 0), amplifying psum-vs-local
+        # reduction-order noise; a wrong pooling (e.g. a missing psum or a
+        # D-factor) would be orders of magnitude larger.
+        jax.tree_util.tree_map(
+            lambda a, b_: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b_), rtol=3e-3, atol=1e-5
+            ),
+            jax.device_get(ts_sh.model_state), jax.device_get(ts_ref.model_state),
+        )
+
+    def test_train_step_matches_unsharded_2x4(self, rng):
+        self._run(rng, db=2, dp=4)
+
+    def test_train_step_matches_unsharded_1x8(self, rng):
+        self._run(rng, db=1, dp=8)
