@@ -133,9 +133,13 @@ class DataConfig:
     transfer_dtype: str = "float32"
     # Upload the whole training fold to HBM once and run augmentation +
     # subsampling + all steps of an epoch as ONE jitted scan (see
-    # data/device_dataset.py). Single-device path only; the DP mesh path
-    # keeps the host loader.
-    device_resident: bool = False
+    # data/device_dataset.py; composes with the DP mesh when the batch
+    # divides over it). "auto" (default) enables it when the estimated
+    # fold footprint is < device_resident_max_bytes — at reference scale
+    # (110 plots x ~10.5k rows) that is ~60 MB of HBM for a 9x epoch
+    # speedup (RESULTS.md); "true"/"false" force it.
+    device_resident: str = "auto"
+    device_resident_max_bytes: int = 2_000_000_000
 
 
 @dataclass(frozen=True)
@@ -213,7 +217,7 @@ def _add_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--transfer_dtype", choices=["float32", "float16"])
     p.add_argument(
         "--device_resident",
-        type=lambda s: s.lower() in ("1", "true"),
+        choices=["auto", "true", "false"],
         default=None,
     )
 

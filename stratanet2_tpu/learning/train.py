@@ -318,8 +318,34 @@ def train_full(
     # subsampling + the whole epoch's steps run as one compiled scan.
     # Composes with a DP mesh (dataset/model replicated, batch column of
     # the index table sharded, GSPMD inserts the gradient psum) when the
-    # batch divides over the devices.
-    device_data = cfg.data.device_resident and (
+    # batch divides over the devices. "auto" engages when the estimated
+    # fold footprint fits device_resident_max_bytes (~60 MB at reference
+    # scale for a 9x epoch speedup, RESULTS.md).
+    dr = cfg.data.device_resident
+    if isinstance(dr, str):
+        if dr == "auto":
+            import math
+
+            fake_max = int(math.pi / 4 * cfg.model.diam_pix**2) + 16
+            m_est = max(
+                cfg.model.subsample_size,
+                max(
+                    (
+                        int(
+                            dataset[i].get(
+                                "N_points_in_cloud", dataset[i]["cloud"].shape[1]
+                            )
+                        )
+                        for i in train_ids
+                    ),
+                    default=0,
+                ) + fake_max,
+            )
+            est_bytes = len(train_ids) * m_est * 16 * 4
+            dr = est_bytes < cfg.data.device_resident_max_bytes
+        else:
+            dr = dr == "true"
+    device_data = bool(dr) and (
         mesh is None or cfg.train.batch_size % mesh.devices.size == 0
     )
     if device_data:

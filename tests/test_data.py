@@ -348,3 +348,52 @@ class TestDeviceDataset:
             lambda a, b: np.testing.assert_allclose(a, b, rtol=2e-4, atol=1e-6),
             p1, p2,
         )
+
+    def test_device_resident_auto_resolution(self, tmp_path):
+        """'auto' engages when the estimated fold footprint fits the cap and
+        backs off above it; explicit 'true'/'false' force the choice."""
+        from dataclasses import replace
+
+        import numpy as np
+
+        from tests.synthetic import make_plot_dataset, tiny_config
+        from stratanet2_tpu.learning.kde import fit_kde_mixture_from_dataset
+        from stratanet2_tpu.learning.train import train_full
+        from stratanet2_tpu.utils.experiment import MetricSink
+
+        ds = make_plot_dataset(np.random.default_rng(7), n_plots=8, n_points=300)
+        kde = fit_kde_mixture_from_dataset(ds)
+        ids = np.array(sorted(ds.keys()))
+
+        for dr, cap, expect in [
+            ("auto", 2_000_000_000, True),
+            ("auto", 1, False),
+            ("false", 2_000_000_000, False),
+        ]:
+            cfg = tiny_config()
+            cfg = replace(
+                cfg,
+                data=replace(
+                    cfg.data, device_resident=dr, device_resident_max_bytes=cap
+                ),
+                train=replace(cfg.train, n_epoch=1, n_epoch_test=5),
+            )
+            out = tmp_path / f"run_{dr}_{cap}"
+            out.mkdir()
+            sink = MetricSink(str(out))
+            import logging
+
+            records = []
+            h = logging.Handler()
+            h.emit = lambda rec: records.append(rec.getMessage())
+            lg = logging.getLogger("stratanet2_tpu")
+            prev_level = lg.level
+            lg.setLevel(logging.INFO)
+            lg.addHandler(h)
+            try:
+                train_full(ds, ids[:6], ids[6:], cfg, kde, str(out), sink, fold_id=1)
+            finally:
+                lg.removeHandler(h)
+                lg.setLevel(prev_level)
+            used = any("Device-resident dataset" in m for m in records)
+            assert used == expect, (dr, cap, records[:5])
