@@ -64,7 +64,7 @@ def build_dataset(root: str) -> str:
 def run_fold(
     root: str, fold: int, resume: bool, n_epoch: int,
     transfer_dtype: str = "float32",
-    device_resident: bool = False,
+    device_resident: str = "auto",
 ) -> None:
     from dataclasses import replace
 
@@ -190,9 +190,10 @@ def main():
     ap.add_argument("--n_epoch", type=int, default=300)
     ap.add_argument("--transfer_dtype", default="float32",
                     choices=["float32", "float16"])
-    ap.add_argument("--device_resident", action="store_true",
+    ap.add_argument("--device_resident", nargs="?", const="true",
+                    choices=["auto", "true", "false"], default="auto",
                     help="HBM-resident dataset + one-program epochs "
-                    "(data/device_dataset.py)")
+                    "(data/device_dataset.py); default auto")
     ns = ap.parse_args()
     if ns.orchestrate:
         orchestrate(ns.root, ns.n_epoch)
