@@ -76,6 +76,10 @@ def make_point_sharded_predict_step(cfg: Config, n_devices: int):
     mesh = make_mesh_2d(1, d)
 
     def step(model: PointNet2Params, cloud, xyz):
+        # same f32-compute contract as make_predict_step: inputs may ride
+        # the reduced transfer dtype (DataConfig.transfer_dtype)
+        cloud = cloud.astype(jnp.float32)
+        xyz = xyz.astype(jnp.float32)
         with mesh:
             cov, _proba = pointnet2_forward_point_sharded(
                 model, cloud[..., 2:], xyz, cfg, mesh
@@ -119,11 +123,15 @@ def make_predict_step(cfg: Config, mesh=None):
     rep_cache = {}
 
     def sharded_step(model, cloud, xyz):
-        key = tuple(id(l) for l in jax.tree_util.tree_leaves(model))
+        leaves = jax.tree_util.tree_leaves(model)
+        key = tuple(id(l) for l in leaves)
         if key not in rep_cache:
             rep_cache.clear()
-            rep_cache[key] = replicate(mesh, model)
-        model_r = rep_cache[key]
+            # hold the source leaves alongside: id() keys are only valid
+            # while the objects are alive (CPython reuses addresses after
+            # GC, which could serve a stale checkpoint's replication)
+            rep_cache[key] = (leaves, replicate(mesh, model))
+        model_r = rep_cache[key][1]
         cloud = jax.device_put(cloud, batch_sharding(mesh, 3))
         xyz = jax.device_put(xyz, batch_sharding(mesh, 3))
         return step(model_r, cloud, xyz)

@@ -238,7 +238,7 @@ def fps_pallas_batched(
     out = pl.pallas_call(
         _fps_kernel(n_samples, n),
         name="fps",
-        out_shape=jax.ShapeDtypeStruct((n_samples, b), jnp.int32),
+        out_shape=_sds((n_samples, b), jnp.int32, like=x3),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -381,9 +381,9 @@ def _knn_pallas_raw(x_src, pos_src, pos_tgt, k: int, tc: int = 0):
             pl.BlockSpec((1, k, tc), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((b, f, tpad), jnp.float32),
-            jax.ShapeDtypeStruct((b, k, tpad), jnp.int32),
-            jax.ShapeDtypeStruct((b, k, tpad), jnp.float32),
+            _sds((b, f, tpad), jnp.float32, like=xt),
+            _sds((b, k, tpad), jnp.int32, like=xt),
+            _sds((b, k, tpad), jnp.float32, like=xt),
         ),
         interpret=jax.default_backend() != "tpu",
     )(tgtt, src9, sn, xt)
@@ -765,8 +765,8 @@ def ball_query_grouped_pallas(
             pl.BlockSpec((1, k, cc), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((b, k, cpad), jnp.int32),
-            jax.ShapeDtypeStruct((b, k, cpad), jnp.int32),
+            _sds((b, k, cpad), jnp.int32, like=xt9),
+            _sds((b, k, cpad), jnp.int32, like=xt9),
         ),
         interpret=jax.default_backend() != "tpu",
     )(centt, xt9, pn)
