@@ -258,8 +258,12 @@ def _sa_train_fused_path(p, s, x, pos, centroids, radius, k):
         b2 = p["layers"][1]["linear"]["b"]
     else:
         w2 = b2 = None
+    # running means feed the shifted one-pass batch stats (advisor r2:
+    # after warmup the running mean tracks the batch mean, so the shift
+    # removes the E[x^2]-E[x]^2 cancellation)
+    shifts = tuple(ls["mean"] for ls in s["layers"])
     out, stats, me = sa_train_fused(
-        q, cterm, scales, biases, w2, b2, idx, mask, k=k
+        q, cterm, scales, biases, w2, b2, idx, mask, k=k, bn_shifts=shifts
     )
     # BatchNorm running-state update, identical to nn.batchnorm's train
     # branch (biased batch var normalizes; unbiased var is stored).

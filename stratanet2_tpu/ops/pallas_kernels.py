@@ -1202,14 +1202,19 @@ def _sa_gather(qhi, qlo, sl, onehot_t):
 
 
 def _sa_stats1_kernel(k: int, g_real: int, blk: int):
-    def kernel(idx_ref, mask_ref, qg_ref, ctermt_ref, stats_ref):
+    def kernel(idx_ref, mask_ref, qg_ref, ctermt_ref, aff0_ref, stats_ref):
         # idx/mask (1,K,CC) i32 (lane-major, from ball_query layout='kc');
-        # qg (1,nb,C1,blk*G) f32; ctermt (1,C1,CC); stats (1,C1,128) f32
-        # partials: lane 0 = masked sum of h1, lane 1 = masked sum of h1^2.
+        # qg (1,nb,C1,blk*G) f32; ctermt (1,C1,CC); aff0 (16,128) row 0 =
+        # per-channel running-mean shift; stats (1,C1,128) f32 partials:
+        # lane 0 = masked sum of (h1-c), lane 1 = masked sum of (h1-c)^2.
+        # The shift removes the catastrophic cancellation of the unshifted
+        # E[x^2]-E[x]^2 variance when |mean| >> std (same fix as
+        # models/nn.batchnorm, advisor r2).
         cc = ctermt_ref.shape[2]
         c1 = ctermt_ref.shape[1]
         g = qg_ref.shape[3] // blk
         ctermt = ctermt_ref[0]
+        shift = aff0_ref[0, :c1][:, None]  # (C1, 1)
         rowg2 = jax.lax.broadcasted_iota(jnp.int32, (g, cc), 0)
 
         def body(bi, carry):
@@ -1223,9 +1228,10 @@ def _sa_stats1_kernel(k: int, g_real: int, blk: int):
                 vmask = (_sa_row(mask_ref, gi) > 0).astype(jnp.float32)
                 onehot_t = (rowg2 == within).astype(jnp.bfloat16)
                 h1 = jax.nn.relu(_sa_gather(qhi, qlo, sl, onehot_t) - ctermt)
-                hm = h1 * vmask
+                hc = h1 - shift
+                hm = hc * vmask
                 ssum = ssum + jnp.sum(hm, axis=1, keepdims=True)
-                ssq = ssq + jnp.sum(hm * h1, axis=1, keepdims=True)
+                ssq = ssq + jnp.sum(hm * hc, axis=1, keepdims=True)
             return ssum, ssq
 
         z = jnp.zeros((c1, 1), jnp.float32)
@@ -1242,8 +1248,9 @@ def _sa_train_main_kernel(k: int, g_real: int, blk: int, two_layer: bool):
         idx_ref, mask_ref, qg_ref, ctermt_ref, aff_ref, w2t_ref,
         stats_ref, vmax_ref, vmin_ref, amax_ref, amin_ref,
     ):
-        # aff (8, CL) rows: 0=a1 (gamma1/sigma1-folded affine scale),
-        # 1=c1 (affine shift), 2=b2 (layer-2 linear bias); w2t (C2, C1).
+        # aff (16, CL) rows: 0=a1 (gamma1/sigma1-folded affine scale),
+        # 1=c1 (affine shift), 2=b2 (layer-2 linear bias), 13=running-mean
+        # shift of the LAST layer (shifted one-pass stats); w2t (C2, C1).
         # outputs: stats partials of the PRE-BN last-layer h as in stats1;
         # vmax/vmin (1, C2, CC) f32, amax/amin (1, C2, CC) i32 (group idx).
         cc = ctermt_ref.shape[2]
@@ -1251,6 +1258,7 @@ def _sa_train_main_kernel(k: int, g_real: int, blk: int, two_layer: bool):
         c2 = vmax_ref.shape[1]
         g = qg_ref.shape[3] // blk
         ctermt = ctermt_ref[0]
+        shiftl = aff_ref[13, :c2][:, None]  # (C2, 1)
         rowg2 = jax.lax.broadcasted_iota(jnp.int32, (g, cc), 0)
         if two_layer:
             a1 = aff_ref[0, :c1][:, None]
@@ -1279,9 +1287,10 @@ def _sa_train_main_kernel(k: int, g_real: int, blk: int, two_layer: bool):
                     h = jax.nn.relu(u)
                 else:
                     h = h1
-                hm = h * vmask
+                hc = h - shiftl
+                hm = hc * vmask
                 ssum = ssum + jnp.sum(hm, axis=1, keepdims=True)
-                ssq = ssq + jnp.sum(hm * h, axis=1, keepdims=True)
+                ssq = ssq + jnp.sum(hm * hc, axis=1, keepdims=True)
                 e_hi = jnp.where(mrow, h, jnp.float32(-3.4e38))
                 e_lo = jnp.where(mrow, h, jnp.float32(3.4e38))
                 better = e_hi > vmax
@@ -1545,12 +1554,13 @@ def _unblock_layout(xg, k, blk, g_real, g, n):
     return xg.reshape(b, k * g_real, f)[:, :n]
 
 
-def _sa_train_stats(qg, ctermt, idxp, maskp, k, geo):
+def _sa_train_stats(qg, ctermt, idxp, maskp, k, geo, shift1):
     g_real, g, blk, cc, cpad = geo
     b = qg.shape[0]
     nb = qg.shape[1]
     c1 = ctermt.shape[1]
     nchunks = cpad // cc
+    aff0 = jnp.zeros((16, 128), jnp.float32).at[0, :c1].set(shift1)
     out = pl.pallas_call(
         _sa_stats1_kernel(k, g_real, blk),
         name="sa_train_stats1",
@@ -1560,13 +1570,14 @@ def _sa_train_stats(qg, ctermt, idxp, maskp, k, geo):
             pl.BlockSpec((1, k, cc), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, nb, c1, blk * g), lambda i, j: (i, 0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, c1, cc), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
             (1, 1, c1, 128), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((b, nchunks, c1, 128), jnp.float32),
         interpret=jax.default_backend() != "tpu",
-    )(idxp, maskp, qg, ctermt)
+    )(idxp, maskp, qg, ctermt, aff0)
     sums = jnp.sum(out, axis=(0, 1))  # (C1, 128)
     return sums[:, 0], sums[:, 1]
 
@@ -1699,19 +1710,28 @@ def _sa_train_for(k: int, two_layer: bool):
 
     eps = _BN_EPS_SA
 
-    def fwd_common(q, cterm, gamma1, beta1, w2, b2, gamma2, beta2, idx, mask):
+    def fwd_common(
+        q, cterm, gamma1, beta1, shift1, w2, b2, gamma2, beta2, shift2,
+        idx, mask,
+    ):
+        # shift1/shift2: per-channel running means — the batch stats
+        # accumulate (h - shift) / (h - shift)^2 inside the kernels
+        # (shifted one-pass form, same numerics fix as nn.batchnorm).
         b, n, c1 = q.shape
         c = cterm.shape[1]
         c2 = w2.shape[1] if two_layer else c1
         qg, ctermt, idxp, maskp, geo = _sa_layouts(q, cterm, idx, mask, k, 512)
         m_edges = jnp.maximum(jnp.sum(mask.astype(jnp.float32)), 1.0)
+        shift_l = shift2 if two_layer else shift1
 
         aff = jnp.zeros((16, 128), jnp.float32)
+        aff = aff.at[13, :c2].set(shift_l)
         if two_layer:
-            s1, sq1 = _sa_train_stats(qg, ctermt, idxp, maskp, k, geo)
+            s1, sq1 = _sa_train_stats(qg, ctermt, idxp, maskp, k, geo, shift1)
             s1, sq1 = s1[:c1], sq1[:c1]
-            mean1 = s1 / m_edges
-            var1 = jnp.maximum(sq1 / m_edges - mean1 * mean1, 0.0)
+            dmean1 = s1 / m_edges
+            mean1 = dmean1 + shift1
+            var1 = jnp.maximum(sq1 / m_edges - dmean1 * dmean1, 0.0)
             a1, c1v = _bn_fold(gamma1, beta1, mean1, var1, eps)
             aff = aff.at[0, :c1].set(a1).at[1, :c1].set(c1v)
             aff = aff.at[2, :c2].set(b2)
@@ -1724,8 +1744,9 @@ def _sa_train_for(k: int, two_layer: bool):
             qg, ctermt, aff, w2t, idxp, maskp, k, c2, geo, two_layer
         )
         sl, sql = sl[:c2], sql[:c2]
-        mean_l = sl / m_edges
-        var_l = jnp.maximum(sql / m_edges - mean_l * mean_l, 0.0)
+        dmean_l = sl / m_edges
+        mean_l = dmean_l + shift_l
+        var_l = jnp.maximum(sql / m_edges - dmean_l * dmean_l, 0.0)
         g_last = gamma2 if two_layer else gamma1
         b_last = beta2 if two_layer else beta1
         inv_l, shift_l = _bn_fold(g_last, b_last, mean_l, var_l, eps)
@@ -1742,15 +1763,19 @@ def _sa_train_for(k: int, two_layer: bool):
     if two_layer:
 
         @jax.custom_vjp
-        def f(q, cterm, gamma1, beta1, w2, b2, gamma2, beta2, idx, mask):
+        def f(q, cterm, gamma1, beta1, shift1, w2, b2, gamma2, beta2,
+              shift2, idx, mask):
             out, m1, v1, m2, v2, me, _ = fwd_common(
-                q, cterm, gamma1, beta1, w2, b2, gamma2, beta2, idx, mask
+                q, cterm, gamma1, beta1, shift1, w2, b2, gamma2, beta2,
+                shift2, idx, mask
             )
             return out, (m1, v1, m2, v2), me
 
-        def f_fwd(q, cterm, gamma1, beta1, w2, b2, gamma2, beta2, idx, mask):
+        def f_fwd(q, cterm, gamma1, beta1, shift1, w2, b2, gamma2, beta2,
+                  shift2, idx, mask):
             out, m1, v1, m2, v2, me, keep = fwd_common(
-                q, cterm, gamma1, beta1, w2, b2, gamma2, beta2, idx, mask
+                q, cterm, gamma1, beta1, shift1, w2, b2, gamma2, beta2,
+                shift2, idx, mask
             )
             # zero-size token carries q's (n, dtype) into bwd (residuals
             # must be JAX types)
@@ -1803,8 +1828,9 @@ def _sa_train_for(k: int, two_layer: bool):
             dcterm = jnp.swapaxes(dct, 1, 2)[:, :c]
             fz = lambda shp: np.zeros(shp, jdt.float0)
             return (
-                dq, dcterm, dgamma1, dbeta1,
+                dq, dcterm, dgamma1, dbeta1, jnp.zeros_like(dbeta1),
                 jnp.swapaxes(dw2, 0, 1), db2, dgamma2, dbeta2,
+                jnp.zeros_like(dbeta2),
                 fz(idx_shape), fz(idx_shape),
             )
 
@@ -1812,15 +1838,17 @@ def _sa_train_for(k: int, two_layer: bool):
         return f
 
     @jax.custom_vjp
-    def f1(q, cterm, gamma1, beta1, idx, mask):
+    def f1(q, cterm, gamma1, beta1, shift1, idx, mask):
         out, _, _, m, v, me, _ = fwd_common(
-            q, cterm, gamma1, beta1, None, None, None, None, idx, mask
+            q, cterm, gamma1, beta1, shift1, None, None, None, None, None,
+            idx, mask
         )
         return out, (m, v), me
 
-    def f1_fwd(q, cterm, gamma1, beta1, idx, mask):
+    def f1_fwd(q, cterm, gamma1, beta1, shift1, idx, mask):
         out, _, _, m, v, me, keep = fwd_common(
-            q, cterm, gamma1, beta1, None, None, None, None, idx, mask
+            q, cterm, gamma1, beta1, shift1, None, None, None, None, None,
+            idx, mask
         )
         token = jnp.zeros((q.shape[0], q.shape[1], 0), q.dtype)
         res = (keep, m, v, me, gamma1, token)
@@ -1858,14 +1886,18 @@ def _sa_train_for(k: int, two_layer: bool):
         dq = _unblock_layout(dqg, k, blk, g_real, g, n).astype(q_dtype)
         dcterm = jnp.swapaxes(dct, 1, 2)[:, :c]
         fz = lambda shp: np.zeros(shp, jdt.float0)
-        return dq, dcterm, dgamma1, dbeta1, fz(idx_shape), fz(idx_shape)
+        return (
+            dq, dcterm, dgamma1, dbeta1, jnp.zeros_like(dbeta1),
+            fz(idx_shape), fz(idx_shape),
+        )
 
     f1.defvjp(f1_fwd, f1_bwd)
     return f1
 
 
 def sa_train_fused(
-    q, cterm, bn_scales, bn_biases, w2, b2, idx, mask, k: int
+    q, cterm, bn_scales, bn_biases, w2, b2, idx, mask, k: int,
+    bn_shifts=None,
 ):
     """Fused SA interior for the TRAINING path (see section comment).
 
@@ -1878,6 +1910,9 @@ def sa_train_fused(
       idx, mask: (B, K, C) selection from ball_query_grouped_pallas(
         layout='kc'); no gradient flows through selection.
       k: static neighbor cap.
+      bn_shifts: per-layer running means used as the variance shift
+        (shifted one-pass batch stats, models/nn.batchnorm numerics fix);
+        zeros when omitted.
 
     Returns:
       out: (B, C, C2) the masked-max SA output (identical math to the
@@ -1888,11 +1923,15 @@ def sa_train_fused(
     """
     two_layer = w2 is not None
     fn = _sa_train_for(int(k), two_layer)
+    if bn_shifts is None:
+        bn_shifts = tuple(jnp.zeros_like(b_) for b_ in bn_biases)
     if two_layer:
         out, (m1, v1, m2, v2), me = fn(
-            q, cterm, bn_scales[0], bn_biases[0], w2, b2,
-            bn_scales[1], bn_biases[1], idx, mask,
+            q, cterm, bn_scales[0], bn_biases[0], bn_shifts[0], w2, b2,
+            bn_scales[1], bn_biases[1], bn_shifts[1], idx, mask,
         )
         return out, ((m1, v1), (m2, v2)), me
-    out, (m, v), me = fn(q, cterm, bn_scales[0], bn_biases[0], idx, mask)
+    out, (m, v), me = fn(
+        q, cterm, bn_scales[0], bn_biases[0], bn_shifts[0], idx, mask
+    )
     return out, ((m, v),), me

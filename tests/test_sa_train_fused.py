@@ -156,3 +156,33 @@ class TestSATrainFused:
         assert np.isfinite(float(val))
         assert dq.shape == q.shape and dw2.shape == w2.shape
         assert np.all(np.isfinite(np.asarray(dq)))
+
+
+class TestShiftedStats:
+    @pytest.mark.parametrize("c2", [None, 10])
+    def test_nonzero_shift_is_algebraically_identical(self, rng, c2):
+        """bn_shifts (running means) change only the accumulation numerics
+        (shifted one-pass, the nn.batchnorm cancellation fix) — mean/var,
+        the forward output, and the winner routing must agree with the
+        unshifted run to fp tolerance."""
+        q, cterm, scales, biases, w2, b2, idx, mask = _setup(rng, c2=c2)
+        k = idx.shape[1]
+        out0, stats0, me0 = sa_train_fused(
+            q, cterm, scales, biases, w2, b2, idx, mask, k=k
+        )
+        shifts = tuple(
+            jnp.asarray(np.random.default_rng(1).normal(size=b_.shape))
+            .astype(jnp.float32)
+            for b_ in biases
+        )
+        out1, stats1, me1 = sa_train_fused(
+            q, cterm, scales, biases, w2, b2, idx, mask, k=k,
+            bn_shifts=shifts,
+        )
+        assert float(me0) == float(me1)
+        np.testing.assert_allclose(
+            np.asarray(out1), np.asarray(out0), rtol=3e-5, atol=3e-5
+        )
+        for (m0, v0), (m1, v1) in zip(stats0, stats1):
+            np.testing.assert_allclose(np.asarray(m1), np.asarray(m0), atol=3e-5)
+            np.testing.assert_allclose(np.asarray(v1), np.asarray(v0), atol=3e-5)
