@@ -282,6 +282,43 @@ class EarlyStopper:
         return False, False
 
 
+# Cross-fold program cache: cross-validation runs every fold in ONE
+# process (learning/crossval.py) but train_full used to rebuild the
+# jitted step/epoch closures per fold — jax caches compiled programs on
+# the callable's identity, so each fold re-paid ~60-100 s of tracing +
+# lowering on a 1-core host even with the persistent compile cache warm.
+# Keyed on (frozen cfg, steps_per_epoch, kde identity, mesh identity,
+# path kind); entries hold the kde/mesh refs so id() keys stay valid.
+_PROGRAM_CACHE: dict = {}
+
+
+def _cached_programs(cfg, steps_per_epoch, kde, mesh, device_data):
+    key = (
+        cfg, steps_per_epoch, id(kde),
+        id(mesh) if mesh is not None else None, device_data,
+    )
+    entry = _PROGRAM_CACHE.get(key)
+    if entry is None:
+        optimizer = make_optimizer(cfg, steps_per_epoch)
+        entry = {
+            "refs": (kde, mesh),
+            "optimizer": optimizer,
+            "eval_step": make_eval_step(cfg, kde),
+        }
+        if device_data:
+            from stratanet2_tpu.data.device_dataset import make_device_epoch
+
+            entry["epoch_fn"] = make_device_epoch(
+                cfg, make_train_step(cfg, optimizer, kde, jit=False),
+                mesh=mesh,
+            )
+        else:
+            entry["train_step"] = make_train_step(cfg, optimizer, kde)
+        _PROGRAM_CACHE.clear()  # one active configuration at a time
+        _PROGRAM_CACHE[key] = entry
+    return entry
+
+
 def train_full(
     dataset: Dict,
     train_ids,
@@ -310,9 +347,6 @@ def train_full(
 
     train_loader = PlotLoader(dataset, cfg, plot_ids=train_ids, train=True, seed=seed)
     steps_per_epoch = max(len(train_loader), 1)
-    optimizer = make_optimizer(cfg, steps_per_epoch)
-    ts = init_train_state(cfg, optimizer, seed=seed, pretrained_path=pretrained_path)
-    eval_step = make_eval_step(cfg, kde)
 
     # Device-resident data path: dataset uploaded once, augmentation +
     # subsampling + the whole epoch's steps run as one compiled scan.
@@ -348,16 +382,15 @@ def train_full(
     device_data = bool(dr) and (
         mesh is None or cfg.train.batch_size % mesh.devices.size == 0
     )
+    programs = _cached_programs(cfg, steps_per_epoch, kde, mesh, device_data)
+    optimizer = programs["optimizer"]
+    eval_step = programs["eval_step"]
+    ts = init_train_state(cfg, optimizer, seed=seed, pretrained_path=pretrained_path)
     if device_data:
-        from stratanet2_tpu.data.device_dataset import (
-            build_device_dataset,
-            make_device_epoch,
-        )
+        from stratanet2_tpu.data.device_dataset import build_device_dataset
 
         dd = build_device_dataset(dataset, list(train_ids), cfg.model)
-        epoch_fn = make_device_epoch(
-            cfg, make_train_step(cfg, optimizer, kde, jit=False), mesh=mesh
-        )
+        epoch_fn = programs["epoch_fn"]
         logger.info(
             "Device-resident dataset: %d plots x %d rows (%.1f MB HBM)%s",
             dd.feats.shape[0], dd.feats.shape[1],
@@ -366,7 +399,7 @@ def train_full(
             if mesh is not None else "",
         )
     else:
-        train_step = make_train_step(cfg, optimizer, kde)
+        train_step = programs["train_step"]
 
     stopper = EarlyStopper(cfg)
     ckpt_path = os.path.join(stats_path, ckpt.checkpoint_name(fold_id))
