@@ -151,17 +151,12 @@ def log_mae_histograms(
         name: np.array([abs(s[p] - s[v]) for s in summaries])
         for name, p, v in names
     }
-    bins = np.linspace(0.0, 1.0, 21)
     for name, err in errors.items():
-        counts, _ = np.histogram(err, bins=bins)
+        # JSONL counts/bins + a tfevents HistogramProto (MetricSink routes
+        # both; the reference sent Comet log_histogram_3d)
+        sink.log_histogram(name, err, epoch=epoch, step=fold_id)
         sink.log_metrics(
-            {
-                f"{name}_hist_counts": counts.tolist(),
-                f"{name}_hist_bins": bins.tolist(),
-                f"{name}_mean": float(err.mean()),
-            },
-            epoch=epoch,
-            step=fold_id,
+            {f"{name}_mean": float(err.mean())}, epoch=epoch, step=fold_id
         )
     try:
         import matplotlib

@@ -133,6 +133,29 @@ class MetricSink:
                 if isinstance(v, (int, float)):
                     self._tb.add_scalar(pre + k, v, step_v or 0)
 
+    def log_histogram(
+        self, name: str, values, epoch: Optional[int] = None,
+        step: Optional[int] = None,
+    ):
+        """Histogram: JSONL record of binned counts + a TensorBoard
+        histogram summary (reference Comet log_histogram_3d)."""
+        import numpy as np
+
+        v = np.asarray(values, dtype=float).ravel()
+        counts, edges = np.histogram(v[np.isfinite(v)], bins=20)
+        self.log_metrics(
+            {
+                f"{name}_hist_counts": counts.tolist(),
+                f"{name}_hist_bins": edges.tolist(),
+            },
+            epoch=epoch,
+            step=step,
+        )
+        if self._tb is not None:
+            pre = (self._context + "/") if self._context else ""
+            sv = step if step is not None else (epoch or 0)
+            self._tb.add_histogram(pre + name, v, sv or 0)
+
     def log_parameters(self, params: Dict[str, Any]):
         with open(os.path.join(self.stats_path, "params.json"), "w") as f:
             json.dump({k: _jsonable(v) for k, v in params.items()}, f, indent=2, default=str)

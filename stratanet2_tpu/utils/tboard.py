@@ -103,6 +103,31 @@ def _scalar_event(tag: str, value: float, step: int, wall_time: float) -> bytes:
     return _double_field(1, wall_time) + _int_field(2, int(step)) + _bytes_field(5, summary)
 
 
+def _packed_doubles(num: int, values) -> bytes:
+    payload = b"".join(struct.pack("<d", float(v)) for v in values)
+    return _bytes_field(num, payload)
+
+
+def _histo_event(
+    tag: str, v, counts, edges, step: int, wall_time: float
+) -> bytes:
+    # HistogramProto: min=1 max=2 num=3 sum=4 sum_squares=5,
+    # bucket_limit=7 (packed double), bucket=8 (packed double).
+    histo = (
+        _double_field(1, float(v.min()))
+        + _double_field(2, float(v.max()))
+        + _double_field(3, float(v.size))
+        + _double_field(4, float(v.sum()))
+        + _double_field(5, float((v * v).sum()))
+        + _packed_doubles(7, edges[1:])
+        + _packed_doubles(8, counts)
+    )
+    # Summary.Value: tag = 1, histo = 4
+    sval = _bytes_field(1, tag.encode()) + _bytes_field(4, histo)
+    summary = _bytes_field(1, sval)
+    return _double_field(1, wall_time) + _int_field(2, int(step)) + _bytes_field(5, summary)
+
+
 def _version_event(wall_time: float) -> bytes:
     # Event.file_version = field 3 (string)
     return _double_field(1, wall_time) + _bytes_field(3, b"brain.Event:2")
@@ -132,6 +157,26 @@ class EventFileWriter:
         except (TypeError, ValueError):
             return
         self._write_record(_scalar_event(tag, v, step, wall_time or time.time()))
+
+    def add_histogram(
+        self, tag: str, values, step: int, bins: int = 30,
+        wall_time: Optional[float] = None,
+    ) -> None:
+        """Histogram summary (tensorflow.HistogramProto) — the tfevents
+        counterpart of the reference's Comet log_histogram_3d
+        (learning/test.py:166-193)."""
+        import numpy as np
+
+        v = np.asarray(values, dtype=np.float64).ravel()
+        v = v[np.isfinite(v)]
+        if v.size == 0:
+            return
+        counts, edges = np.histogram(v, bins=bins)
+        self._write_record(
+            _histo_event(
+                tag, v, counts, edges, int(step), wall_time or time.time()
+            )
+        )
 
     def close(self) -> None:
         self._fh.close()

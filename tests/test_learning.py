@@ -178,3 +178,53 @@ class TestTrainSmoke:
         assert hist, "MAE histogram counts missing from the metric sink"
         counts = hist[-1]["metrics"]["val_MAE_veg_moy_hist_counts"]
         assert sum(counts) == len(cloud_infos)
+
+
+class TestProgramCache:
+    def test_cross_fold_cache_reuse_is_equivalent(self, tmp_path):
+        """train_full's cross-fold program cache (learning/train.
+        _PROGRAM_CACHE) must not change results: fold B trained with the
+        programs cached by fold A equals fold B trained with a cleared
+        cache."""
+        from dataclasses import replace
+
+        import numpy as np
+
+        from tests.synthetic import make_plot_dataset, tiny_config
+        from stratanet2_tpu.learning import train as T
+        from stratanet2_tpu.learning.kde import fit_kde_mixture_from_dataset
+        from stratanet2_tpu.utils.experiment import MetricSink
+
+        cfg = tiny_config()
+        cfg = replace(cfg, train=replace(cfg.train, n_epoch=2, n_epoch_test=2))
+        ds = make_plot_dataset(np.random.default_rng(21), n_plots=10, n_points=250)
+        kde = fit_kde_mixture_from_dataset(ds)
+        ids = np.array(sorted(ds.keys()))
+        folds = [(ids[:8], ids[8:]), (ids[2:], ids[:2])]
+
+        def run(tag, clear_between):
+            T._PROGRAM_CACHE.clear()
+            outs = []
+            for i, (tr, va) in enumerate(folds):
+                if clear_between and i:
+                    T._PROGRAM_CACHE.clear()
+                out = tmp_path / f"{tag}_{i}"
+                out.mkdir()
+                sink = MetricSink(str(out))
+                _, train_losses, test_losses, _ = T.train_full(
+                    ds, tr, va, cfg, kde, str(out), sink, fold_id=i + 1
+                )
+                outs.append((train_losses, test_losses))
+            return outs
+
+        a = run("cached", clear_between=False)
+        b = run("fresh", clear_between=True)
+        for (tra, tea), (trb, teb) in zip(a, b):
+            for da, db in zip(tra, trb):
+                np.testing.assert_allclose(
+                    da["total_loss"], db["total_loss"], rtol=1e-6
+                )
+            for da, db in zip(tea, teb):
+                np.testing.assert_allclose(
+                    da["total_loss"], db["total_loss"], rtol=1e-6
+                )

@@ -70,3 +70,31 @@ class TestEventFile:
         sink.log_metrics({"x": 1.0})
         sink.close()
         assert not os.path.isdir(os.path.join(str(tmp_path), "tb"))
+
+    def test_histogram_roundtrip(self, tmp_path):
+        """HistogramProto framing: the record passes CRC validation and
+        carries the tag (reference Comet log_histogram_3d counterpart)."""
+        w = EventFileWriter(str(tmp_path))
+        vals = np.concatenate([np.zeros(5), np.linspace(0, 1, 50)])
+        w.add_histogram("val/MAE_hist", vals, step=3)
+        w.add_scalar("after", 1.0, step=3)
+        w.close()
+        events = read_events(w.path)  # CRC-checked framing
+        tags = [e[0] for e in events]
+        assert "val/MAE_hist" in tags and "after" in tags
+
+    def test_metricsink_log_histogram(self, tmp_path):
+        from stratanet2_tpu.utils.experiment import MetricSink
+
+        sink = MetricSink(str(tmp_path))
+        with sink.context("fold_1_val"):
+            sink.log_histogram("val_MAE_veg_b", [0.1, 0.2, 0.3], epoch=4)
+        sink.close()
+        import json
+
+        recs = [json.loads(l) for l in open(os.path.join(str(tmp_path), "metrics.jsonl"))]
+        keys = [k for r in recs for k in r["metrics"]]
+        assert "val_MAE_veg_b_hist_counts" in keys
+        files = glob.glob(os.path.join(str(tmp_path), "tb", "events.out.tfevents.*"))
+        events = read_events(files[0])
+        assert any(e[0] == "fold_1_val/val_MAE_veg_b" for e in events)
