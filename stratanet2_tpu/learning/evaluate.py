@@ -165,6 +165,7 @@ def log_mae_histograms(
         import matplotlib.pyplot as plt
 
         fig, axes = plt.subplots(1, 3, figsize=(12, 3.5), sharey=True)
+        bins = np.linspace(0.0, 1.0, 21)
         for ax, (name, err) in zip(axes, errors.items()):
             ax.hist(err, bins=bins, color="tab:green", edgecolor="black")
             ax.set_title(f"{name} (mean {err.mean():.3f})")

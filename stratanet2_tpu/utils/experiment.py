@@ -142,7 +142,8 @@ class MetricSink:
         import numpy as np
 
         v = np.asarray(values, dtype=float).ravel()
-        counts, edges = np.histogram(v[np.isfinite(v)], bins=20)
+        v = v[np.isfinite(v)]
+        counts, edges = np.histogram(v, bins=20)
         self.log_metrics(
             {
                 f"{name}_hist_counts": counts.tolist(),
@@ -151,10 +152,13 @@ class MetricSink:
             epoch=epoch,
             step=step,
         )
-        if self._tb is not None:
+        if self._tb is not None and v.size:
             pre = (self._context + "/") if self._context else ""
             sv = step if step is not None else (epoch or 0)
-            self._tb.add_histogram(pre + name, v, sv or 0)
+            # same binning as the JSONL record (single computation)
+            self._tb.add_histogram(
+                pre + name, v, sv or 0, counts=counts, edges=edges
+            )
 
     def log_parameters(self, params: Dict[str, Any]):
         with open(os.path.join(self.stats_path, "params.json"), "w") as f:

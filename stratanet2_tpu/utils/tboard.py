@@ -112,18 +112,18 @@ def _histo_event(
     tag: str, v, counts, edges, step: int, wall_time: float
 ) -> bytes:
     # HistogramProto: min=1 max=2 num=3 sum=4 sum_squares=5,
-    # bucket_limit=7 (packed double), bucket=8 (packed double).
+    # bucket_limit=6 (packed double), bucket=7 (packed double).
     histo = (
         _double_field(1, float(v.min()))
         + _double_field(2, float(v.max()))
         + _double_field(3, float(v.size))
         + _double_field(4, float(v.sum()))
         + _double_field(5, float((v * v).sum()))
-        + _packed_doubles(7, edges[1:])
-        + _packed_doubles(8, counts)
+        + _packed_doubles(6, edges[1:])
+        + _packed_doubles(7, counts)
     )
-    # Summary.Value: tag = 1, histo = 4
-    sval = _bytes_field(1, tag.encode()) + _bytes_field(4, histo)
+    # Summary.Value: tag = 1, histo = 5 (4 is Image!)
+    sval = _bytes_field(1, tag.encode()) + _bytes_field(5, histo)
     summary = _bytes_field(1, sval)
     return _double_field(1, wall_time) + _int_field(2, int(step)) + _bytes_field(5, summary)
 
@@ -160,18 +160,21 @@ class EventFileWriter:
 
     def add_histogram(
         self, tag: str, values, step: int, bins: int = 30,
-        wall_time: Optional[float] = None,
+        counts=None, edges=None, wall_time: Optional[float] = None,
     ) -> None:
         """Histogram summary (tensorflow.HistogramProto) — the tfevents
         counterpart of the reference's Comet log_histogram_3d
-        (learning/test.py:166-193)."""
+        (learning/test.py:166-193). Pass precomputed counts/edges to keep
+        the binning consistent with another sink (MetricSink.log_histogram
+        records the same binning to JSONL)."""
         import numpy as np
 
         v = np.asarray(values, dtype=np.float64).ravel()
         v = v[np.isfinite(v)]
         if v.size == 0:
             return
-        counts, edges = np.histogram(v, bins=bins)
+        if counts is None or edges is None:
+            counts, edges = np.histogram(v, bins=bins)
         self._write_record(
             _histo_event(
                 tag, v, counts, edges, int(step), wall_time or time.time()

@@ -6,6 +6,7 @@ import glob
 import os
 
 import numpy as np
+import pytest
 
 from stratanet2_tpu.utils.tboard import (
     EventFileWriter,
@@ -82,6 +83,39 @@ class TestEventFile:
         events = read_events(w.path)  # CRC-checked framing
         tags = [e[0] for e in events]
         assert "val/MAE_hist" in tags and "after" in tags
+
+    def test_histogram_decodes_with_real_tensorboard_protos(self, tmp_path):
+        """Decode with tensorboard's own event_pb2: the Value must carry a
+        HISTO (field 5 — field 4 is Image, an encoding bug TB would render
+        as an empty image summary) with correct bucket fields (6/7)."""
+        event_pb2 = pytest.importorskip("tensorboard.compat.proto.event_pb2")
+
+        w = EventFileWriter(str(tmp_path))
+        vals = np.linspace(0.0, 1.0, 100)
+        w.add_histogram("val/hist", vals, step=7, bins=10)
+        w.close()
+        import struct as st
+
+        with open(w.path, "rb") as f:
+            records = []
+            while True:
+                hdr = f.read(8)
+                if len(hdr) < 8:
+                    break
+                (length,) = st.unpack("<Q", hdr)
+                f.read(4)
+                records.append(f.read(length))
+                f.read(4)
+        ev = event_pb2.Event.FromString(records[1])
+        val = ev.summary.value[0]
+        assert val.tag == "val/hist"
+        assert val.WhichOneof("value") == "histo"
+        h = val.histo
+        assert h.num == 100 and len(h.bucket) == 10
+        assert len(h.bucket_limit) == 10
+        assert abs(sum(h.bucket) - 100) < 1e-9
+        assert abs(h.sum - float(vals.sum())) < 1e-6
+        assert ev.step == 7
 
     def test_metricsink_log_histogram(self, tmp_path):
         from stratanet2_tpu.utils.experiment import MetricSink
