@@ -60,12 +60,18 @@ def main(argv=None):
         )
         logger.info("Warm-starting from pretrained model %s", pretrained_path)
 
-    # data-parallel over all local devices when the batch divides evenly
+    # data-parallel over all local devices when the batch divides evenly;
+    # --point_sharded shards the POINT axis instead (context-parallel
+    # training for dense clouds, parallel/point_sharded.py)
     import jax
 
     mesh = None
     n_dev = len(jax.devices())
-    if n_dev > 1 and cfg.train.batch_size % n_dev == 0:
+    if (
+        not _ns.point_sharded
+        and n_dev > 1
+        and cfg.train.batch_size % n_dev == 0
+    ):
         from stratanet2_tpu.parallel import make_mesh
 
         mesh = make_mesh()
@@ -74,6 +80,7 @@ def main(argv=None):
     cross_validate(
         dataset, cfg, kde, stats_path, sink,
         pretrained_path=pretrained_path, mesh=mesh,
+        point_sharded=_ns.point_sharded,
     )
     sink.close()
     return stats_path

@@ -220,6 +220,10 @@ def _add_flags(p: argparse.ArgumentParser) -> None:
         choices=["auto", "true", "false"],
         default=None,
     )
+    # namespace-only (consumed by cli/main): shard the POINT axis across
+    # devices for training — the context-parallel analogue for dense clouds
+    # (parallel/point_sharded.make_point_sharded_train_step)
+    p.add_argument("--point_sharded", action="store_true")
 
 
 def parse_config(argv: Optional[list] = None) -> Tuple[Config, argparse.Namespace]:

@@ -31,6 +31,7 @@ def cross_validate(
     sink,
     pretrained_path: str = None,
     mesh=None,
+    point_sharded: bool = False,
 ) -> pd.DataFrame:
     """KFold(folds, seed=42, shuffle) cross-validation (main.py:66-99), then
     two analytics passes: with class-center-snapped GT (main.py:102-117) and
@@ -47,6 +48,7 @@ def cross_validate(
             dataset, plot_ids[train_idx], plot_ids[val_idx],
             cfg, kde, stats_path, sink, fold_id=fold_id,
             pretrained_path=pretrained_path, mesh=mesh, seed=cfg.train.seed,
+            point_sharded=point_sharded,
         )
         log_last_stats_of_fold(train_losses, test_losses, fold_id)
         all_train.append(train_losses)

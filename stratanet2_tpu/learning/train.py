@@ -292,10 +292,12 @@ class EarlyStopper:
 _PROGRAM_CACHE: dict = {}
 
 
-def _cached_programs(cfg, steps_per_epoch, kde, mesh, device_data):
+def _cached_programs(cfg, steps_per_epoch, kde, mesh, kind):
+    """kind: "device" (device-resident epoch), "host" (per-batch step) or
+    "point_sharded" (context-parallel train step over a (1, D) mesh)."""
     key = (
         cfg, steps_per_epoch, id(kde),
-        id(mesh) if mesh is not None else None, device_data,
+        id(mesh) if mesh is not None else None, kind,
     )
     entry = _PROGRAM_CACHE.get(key)
     if entry is None:
@@ -305,12 +307,20 @@ def _cached_programs(cfg, steps_per_epoch, kde, mesh, device_data):
             "optimizer": optimizer,
             "eval_step": make_eval_step(cfg, kde),
         }
-        if device_data:
+        if kind == "device":
             from stratanet2_tpu.data.device_dataset import make_device_epoch
 
             entry["epoch_fn"] = make_device_epoch(
                 cfg, make_train_step(cfg, optimizer, kde, jit=False),
                 mesh=mesh,
+            )
+        elif kind == "point_sharded":
+            from stratanet2_tpu.parallel.point_sharded import (
+                make_point_sharded_train_step,
+            )
+
+            entry["train_step"] = make_point_sharded_train_step(
+                cfg, optimizer, kde, mesh
             )
         else:
             entry["train_step"] = make_train_step(cfg, optimizer, kde)
@@ -332,6 +342,7 @@ def train_full(
     seed: int = 0,
     resume: bool = False,
     mesh=None,
+    point_sharded: bool = False,
 ):
     """Full training loop for one fold (reference learning/train.py:82-177).
 
@@ -379,10 +390,37 @@ def train_full(
             dr = est_bytes < cfg.data.device_resident_max_bytes
         else:
             dr = dr == "true"
-    device_data = bool(dr) and (
+    device_data = bool(dr) and not point_sharded and (
         mesh is None or cfg.train.batch_size % mesh.devices.size == 0
     )
-    programs = _cached_programs(cfg, steps_per_epoch, kde, mesh, device_data)
+    kind = "host"
+    train_mesh = mesh
+    if device_data:
+        kind = "device"
+    elif point_sharded:
+        # context-parallel training: POINT axis sharded over all devices
+        # (parallel/point_sharded.make_point_sharded_train_step); requires
+        # N, k1, n_centroids1 divisible by the device count
+        from stratanet2_tpu.parallel.point_sharded import make_mesh_2d
+
+        n_dev = len(jax.devices())
+        mcfg_ = cfg.model
+        if n_dev > 1 and not (
+            mcfg_.subsample_size % n_dev or mcfg_.k1 % n_dev
+            or mcfg_.n_centroids1 % n_dev
+        ):
+            train_mesh = make_mesh_2d(1, n_dev)
+            kind = "point_sharded"
+            logger.info(
+                "Point-sharded training over %d devices", n_dev
+            )
+        else:
+            logger.warning(
+                "point-sharded training unavailable (need N/k1/n_centroids1 "
+                "divisible by %d devices); using the standard path", n_dev
+            )
+            train_mesh = None
+    programs = _cached_programs(cfg, steps_per_epoch, kde, train_mesh, kind)
     optimizer = programs["optimizer"]
     eval_step = programs["eval_step"]
     ts = init_train_state(cfg, optimizer, seed=seed, pretrained_path=pretrained_path)
@@ -445,7 +483,9 @@ def train_full(
                     # key forward would make epoch e+1 reuse epoch e's
                     # dropout keys shifted by one batch)
                     jax.random.fold_in(rng_key, current_epoch),
-                    mesh=mesh,
+                    # point-sharded steps place their own shardings via
+                    # jit in_specs; DP placement applies otherwise
+                    mesh=mesh if kind == "host" else None,
                 )
             train_losses["epoch"] = current_epoch
             train_losses["epoch_seconds"] = time.time() - t0

@@ -251,3 +251,52 @@ class TestPointShardedTrainStep:
 
     def test_train_step_matches_unsharded_1x8(self, rng):
         self._run(rng, db=1, dp=8)
+
+
+class TestPointShardedTrainFull:
+    def test_train_full_point_sharded_matches_plain(self, rng, tmp_path):
+        """train_full(point_sharded=True) (the cli.main --point_sharded
+        path) reproduces the plain loop's loss trajectory under the
+        exactness conditions (plain fps_parts == device count)."""
+        from dataclasses import replace
+
+        from tests.synthetic import make_plot_dataset, tiny_config
+        from stratanet2_tpu.learning.kde import fit_kde_mixture_from_dataset
+        from stratanet2_tpu.learning import train as T
+        from stratanet2_tpu.utils.experiment import MetricSink
+
+        cfg = tiny_config()
+        cfg = replace(
+            cfg,
+            model=replace(
+                cfg.model, subsample_size=512, fps_parts=8,
+                fps_min_part_samples=1,
+            ),
+            train=replace(cfg.train, n_epoch=2, n_epoch_test=2),
+            data=replace(cfg.data, device_resident="false"),
+        )
+        ds = make_plot_dataset(np.random.default_rng(31), n_plots=6, n_points=300)
+        kde = fit_kde_mixture_from_dataset(ds)
+        ids = np.array(sorted(ds.keys()))
+
+        def run(tag, psh):
+            T._PROGRAM_CACHE.clear()
+            out = tmp_path / tag
+            out.mkdir()
+            sink = MetricSink(str(out))
+            _, train_losses, test_losses, _ = T.train_full(
+                ds, ids[:4], ids[4:], cfg, kde, str(out), sink, fold_id=1,
+                point_sharded=psh,
+            )
+            return train_losses, test_losses
+
+        tr_a, te_a = run("plain", False)
+        tr_b, te_b = run("psh", True)
+        for da, db in zip(tr_a, tr_b):
+            np.testing.assert_allclose(
+                da["total_loss"], db["total_loss"], rtol=3e-3
+            )
+        for da, db in zip(te_a, te_b):
+            np.testing.assert_allclose(
+                da["total_loss"], db["total_loss"], rtol=3e-3
+            )
