@@ -67,8 +67,19 @@ def main(argv=None):
 
     mesh = None
     n_dev = len(jax.devices())
+    point_sharded = _ns.point_sharded
+    if point_sharded:
+        from stratanet2_tpu.learning.train import point_sharded_eligible
+
+        ok, why = point_sharded_eligible(cfg)
+        if not ok:
+            logger.warning(
+                "--point_sharded unavailable (%s); falling back to "
+                "data-parallel", why,
+            )
+            point_sharded = False
     if (
-        not _ns.point_sharded
+        not point_sharded
         and n_dev > 1
         and cfg.train.batch_size % n_dev == 0
     ):
@@ -80,7 +91,7 @@ def main(argv=None):
     cross_validate(
         dataset, cfg, kde, stats_path, sink,
         pretrained_path=pretrained_path, mesh=mesh,
-        point_sharded=_ns.point_sharded,
+        point_sharded=point_sharded,
     )
     sink.close()
     return stats_path

@@ -151,10 +151,11 @@ def log_mae_histograms(
         name: np.array([abs(s[p] - s[v]) for s in summaries])
         for name, p, v in names
     }
-    for name, err in errors.items():
+    hist_bins = np.linspace(0.0, 1.0, 21)  # fixed edges: comparable
+    for name, err in errors.items():       # across folds + match the PNG
         # JSONL counts/bins + a tfevents HistogramProto (MetricSink routes
         # both; the reference sent Comet log_histogram_3d)
-        sink.log_histogram(name, err, epoch=epoch, step=fold_id)
+        sink.log_histogram(name, err, epoch=epoch, step=fold_id, bins=hist_bins)
         sink.log_metrics(
             {f"{name}_mean": float(err.mean())}, epoch=epoch, step=fold_id
         )
@@ -165,9 +166,8 @@ def log_mae_histograms(
         import matplotlib.pyplot as plt
 
         fig, axes = plt.subplots(1, 3, figsize=(12, 3.5), sharey=True)
-        bins = np.linspace(0.0, 1.0, 21)
         for ax, (name, err) in zip(axes, errors.items()):
-            ax.hist(err, bins=bins, color="tab:green", edgecolor="black")
+            ax.hist(err, bins=hist_bins, color="tab:green", edgecolor="black")
             ax.set_title(f"{name} (mean {err.mean():.3f})")
             ax.set_xlabel("|pred - gt|")
         axes[0].set_ylabel("plots")

@@ -329,6 +329,27 @@ def _cached_programs(cfg, steps_per_epoch, kde, mesh, kind):
     return entry
 
 
+def point_sharded_eligible(cfg: Config):
+    """Whether context-parallel (point-sharded) training can run in this
+    process: returns (ok, reason-why-not). The step shards N/k1/C1 over
+    all local devices (parallel/point_sharded.py), so each must divide."""
+    n_dev = len(jax.devices())
+    if n_dev <= 1:
+        return False, "needs more than one device"
+    mcfg = cfg.model
+    if (
+        mcfg.subsample_size % n_dev
+        or mcfg.k1 % n_dev
+        or mcfg.n_centroids1 % n_dev
+    ):
+        return False, (
+            f"needs subsample_size={mcfg.subsample_size}, k1={mcfg.k1}, "
+            f"n_centroids1={mcfg.n_centroids1} all divisible by "
+            f"{n_dev} devices"
+        )
+    return True, ""
+
+
 def train_full(
     dataset: Dict,
     train_ids,
@@ -358,6 +379,20 @@ def train_full(
 
     train_loader = PlotLoader(dataset, cfg, plot_ids=train_ids, train=True, seed=seed)
     steps_per_epoch = max(len(train_loader), 1)
+
+    # Resolve point-sharding eligibility FIRST so an ineligible request
+    # falls back to the FULL standard path (device-resident auto + any DP
+    # mesh the caller passed) instead of a degraded single-device run.
+    if point_sharded:
+        ok, why = point_sharded_eligible(cfg)
+        if not ok:
+            logger.warning(
+                "point-sharded training unavailable (%s); using the "
+                "standard path%s", why,
+                f" (data-parallel over {mesh.devices.size} devices)"
+                if mesh is not None else "",
+            )
+            point_sharded = False
 
     # Device-resident data path: dataset uploaded once, augmentation +
     # subsampling + the whole epoch's steps run as one compiled scan.
@@ -399,27 +434,18 @@ def train_full(
         kind = "device"
     elif point_sharded:
         # context-parallel training: POINT axis sharded over all devices
-        # (parallel/point_sharded.make_point_sharded_train_step); requires
-        # N, k1, n_centroids1 divisible by the device count
+        # (parallel/point_sharded.make_point_sharded_train_step);
+        # eligibility was resolved above. make_mesh_2d is memoized so the
+        # cross-fold _PROGRAM_CACHE key (id(mesh)) stays stable.
         from stratanet2_tpu.parallel.point_sharded import make_mesh_2d
 
         n_dev = len(jax.devices())
-        mcfg_ = cfg.model
-        if n_dev > 1 and not (
-            mcfg_.subsample_size % n_dev or mcfg_.k1 % n_dev
-            or mcfg_.n_centroids1 % n_dev
-        ):
-            train_mesh = make_mesh_2d(1, n_dev)
-            kind = "point_sharded"
-            logger.info(
-                "Point-sharded training over %d devices", n_dev
-            )
-        else:
-            logger.warning(
-                "point-sharded training unavailable (need N/k1/n_centroids1 "
-                "divisible by %d devices); using the standard path", n_dev
-            )
-            train_mesh = None
+        train_mesh = make_mesh_2d(1, n_dev)
+        kind = "point_sharded"
+        # the point-sharded step owns its (1, n_dev) mesh; a DP mesh the
+        # caller passed must not also place the train state
+        mesh = None
+        logger.info("Point-sharded training over %d devices", n_dev)
     programs = _cached_programs(cfg, steps_per_epoch, kde, train_mesh, kind)
     optimizer = programs["optimizer"]
     eval_step = programs["eval_step"]

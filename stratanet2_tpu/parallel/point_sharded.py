@@ -21,6 +21,7 @@ These compose with batch-axis data parallelism on a 2-D mesh
 
 from __future__ import annotations
 
+import functools
 from typing import Tuple
 
 import jax
@@ -50,9 +51,12 @@ def make_point_mesh(n_devices: int) -> Mesh:
     return Mesh(np.asarray(jax.devices()[:n_devices]), (POINT_AXIS,))
 
 
+@functools.lru_cache(maxsize=None)
 def make_mesh_2d(batch_devices: int, point_devices: int) -> Mesh:
     """(batch x points) 2-D mesh: data parallelism on the first axis,
-    point/context parallelism on the second."""
+    point/context parallelism on the second. Memoized so repeated callers
+    (e.g. one fold after another in learning/train._cached_programs, which
+    keys programs on id(mesh)) reuse one Mesh object per shape."""
     import numpy as np
 
     devs = np.asarray(jax.devices()[: batch_devices * point_devices])
@@ -419,9 +423,11 @@ def make_point_sharded_train_step(cfg, optimizer, kde, mesh: Mesh):
     k1_local = mcfg.k1 // dp
     AX = (BATCH_AXIS, POINT_AXIS)
 
-    def fwd_local(params, state, x0, pos0):
+    def fwd_local(params, state, x0, pos0, rng):
         """Sharded train forward: x0 (B_l, N_l, F), pos0 (B_l, N_l, 3) ->
-        (cov, proba) (B_l, N_l, 4) + new BN state (replicated by value)."""
+        (cov, proba) (B_l, N_l, 4) + new BN state (replicated by value).
+        rng drives the head dropout (models/pointnet2.py:391); folded with
+        both mesh axis indices so each shard draws an independent mask."""
         new_s = dict(state)
         bl = x0.shape[0]
 
@@ -479,6 +485,12 @@ def make_point_sharded_train_step(cfg, optimizer, kde, mesh: Mesh):
         h_l = jnp.concatenate([h_l, x0], axis=-1)
         h_l, new_s["fp1"] = nn.mlp(params["fp1"], state["fp1"], h_l, train=True, axis_names=AX)
         h_l = jax.nn.relu(nn.linear(params["lin1"], h_l))
+        if mcfg.drop > 0.0:
+            d_rng = jax.random.fold_in(
+                jax.random.fold_in(rng, jax.lax.axis_index(BATCH_AXIS)),
+                jax.lax.axis_index(POINT_AXIS),
+            )
+            h_l = nn.dropout(d_rng, h_l, mcfg.drop, train=True)
         scores = nn.linear(params["lin2"], h_l)
         proba = jax.nn.softmax(scores[..., : mcfg.n_class], axis=-1)
         density = jax.nn.sigmoid(scores[..., mcfg.n_class :])
@@ -531,7 +543,7 @@ def make_point_sharded_train_step(cfg, optimizer, kde, mesh: Mesh):
 
         def loss_fn(params):
             cov, proba, new_state = fwd_local(
-                params, ts.model_state, cloud_l[..., 2:], xyz_l
+                params, ts.model_state, cloud_l[..., 2:], xyz_l, rng
             )
             pred_pl = plotwise_local(cov, cloud_l[..., :2])
             idx = jnp.asarray(STRATA_IDX)

@@ -135,15 +135,17 @@ class MetricSink:
 
     def log_histogram(
         self, name: str, values, epoch: Optional[int] = None,
-        step: Optional[int] = None,
+        step: Optional[int] = None, bins=20,
     ):
         """Histogram: JSONL record of binned counts + a TensorBoard
-        histogram summary (reference Comet log_histogram_3d)."""
+        histogram summary (reference Comet log_histogram_3d). Pass explicit
+        bin edges via `bins` when records must be comparable across
+        folds/runs — the default int form bins over the per-call data range."""
         import numpy as np
 
         v = np.asarray(values, dtype=float).ravel()
         v = v[np.isfinite(v)]
-        counts, edges = np.histogram(v, bins=20)
+        counts, edges = np.histogram(v, bins=bins)
         self.log_metrics(
             {
                 f"{name}_hist_counts": counts.tolist(),

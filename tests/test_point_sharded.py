@@ -300,3 +300,118 @@ class TestPointShardedTrainFull:
             np.testing.assert_allclose(
                 da["total_loss"], db["total_loss"], rtol=3e-3
             )
+
+
+class TestPointShardedWiring:
+    """Round-3 review fixes: eligibility fallback, mesh memoization, head
+    dropout in the sharded step."""
+
+    def test_make_mesh_2d_memoized(self):
+        from stratanet2_tpu.parallel.point_sharded import make_mesh_2d
+
+        # one Mesh object per shape: learning/train._cached_programs keys
+        # jitted programs on id(mesh), so a fresh Mesh per fold would
+        # defeat the cross-fold program cache
+        assert make_mesh_2d(1, 8) is make_mesh_2d(1, 8)
+        assert make_mesh_2d(2, 4) is make_mesh_2d(2, 4)
+
+    def test_point_sharded_eligible_reasons(self):
+        from dataclasses import replace
+
+        from tests.synthetic import tiny_config
+        from stratanet2_tpu.learning.train import point_sharded_eligible
+
+        cfg = tiny_config()  # N=256, k1=8, n_centroids1 from DEV profile
+        ok, why = point_sharded_eligible(cfg)
+        n_dev = len(jax.devices())
+        if cfg.model.n_centroids1 % n_dev == 0:
+            assert ok, why
+        bad = replace(cfg, model=replace(cfg.model, subsample_size=2 * n_dev + 1))
+        ok, why = point_sharded_eligible(bad)
+        assert not ok and "divisible" in why
+
+    def test_head_dropout_active_in_sharded_step(self, rng):
+        """drop > 0: different rng keys give different losses (the head
+        dropout of models/pointnet2.py:391 runs in the sharded step too);
+        drop == 0 stays deterministic."""
+        from dataclasses import replace
+
+        import optax
+
+        from tests.synthetic import tiny_config
+        from stratanet2_tpu.learning.kde import fit_kde_mixture
+        from stratanet2_tpu.learning.train import init_train_state
+        from stratanet2_tpu.parallel.point_sharded import (
+            make_mesh_2d,
+            make_point_sharded_train_step,
+        )
+
+        kde = fit_kde_mixture(np.random.default_rng(0).uniform(0, 20, 2000))
+        optimizer = optax.sgd(0.05)
+        mesh = make_mesh_2d(1, 8)
+
+        def loss_for(drop, key):
+            cfg = tiny_config()
+            cfg = replace(
+                cfg,
+                model=replace(
+                    cfg.model, subsample_size=512, fps_parts=8,
+                    fps_min_part_samples=1, drop=drop,
+                ),
+                train=replace(cfg.train, batch_size=2),
+            )
+            b, n = cfg.train.batch_size, cfg.model.subsample_size
+            r = np.random.default_rng(5)
+            cloud = jnp.asarray(r.uniform(0, 1, (b, n, 10)).astype(np.float32))
+            xyz = jnp.asarray(r.uniform(-10, 10, (b, n, 3)).astype(np.float32))
+            gt = jnp.asarray(r.uniform(0, 1, (b, 4)).astype(np.float32))
+            ts = init_train_state(cfg, optimizer, seed=3)
+            step = make_point_sharded_train_step(cfg, optimizer, kde, mesh)
+            with mesh:
+                _, comps = step(ts, cloud, xyz, gt, jax.random.PRNGKey(key))
+            return float(jax.device_get(comps["total_loss"]))
+
+        assert loss_for(0.5, 0) != loss_for(0.5, 1)
+        assert loss_for(0.0, 0) == loss_for(0.0, 1)
+
+    def test_train_full_ineligible_falls_back_to_standard(
+        self, rng, tmp_path, caplog
+    ):
+        """point_sharded=True with an ineligible geometry falls back to the
+        FULL standard path (DP mesh honored, device-resident auto intact)
+        instead of a silent single-device run."""
+        import logging
+        from dataclasses import replace
+
+        from tests.synthetic import make_plot_dataset, tiny_config
+        from stratanet2_tpu.learning.kde import fit_kde_mixture_from_dataset
+        from stratanet2_tpu.learning import train as T
+        from stratanet2_tpu.parallel import make_mesh
+        from stratanet2_tpu.utils.experiment import MetricSink
+
+        cfg = tiny_config()
+        cfg = replace(
+            cfg,
+            # subsample_size 252 is not divisible by 8 devices
+            model=replace(cfg.model, subsample_size=252),
+            train=replace(cfg.train, n_epoch=1, n_epoch_test=1, batch_size=8),
+        )
+        ds = make_plot_dataset(np.random.default_rng(31), n_plots=6, n_points=300)
+        kde = fit_kde_mixture_from_dataset(ds)
+        ids = np.array(sorted(ds.keys()))
+        mesh = make_mesh()
+        T._PROGRAM_CACHE.clear()
+        sink = MetricSink(str(tmp_path))
+        with caplog.at_level(logging.WARNING):
+            _, train_losses, _, _ = T.train_full(
+                ds, ids[:4], ids[4:], cfg, kde, str(tmp_path), sink,
+                fold_id=1, mesh=mesh, point_sharded=True,
+            )
+        assert any(
+            "point-sharded training unavailable" in r.message
+            and "divisible" in r.message
+            for r in caplog.records
+        )
+        assert len(train_losses) == 1  # the standard path ran to completion
+        # the program cache holds a standard-path entry, not point_sharded
+        assert all(k[-1] != "point_sharded" for k in T._PROGRAM_CACHE)

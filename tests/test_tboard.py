@@ -132,3 +132,28 @@ class TestEventFile:
         files = glob.glob(os.path.join(str(tmp_path), "tb", "events.out.tfevents.*"))
         events = read_events(files[0])
         assert any(e[0] == "fold_1_val/val_MAE_veg_b" for e in events)
+
+    def test_log_histogram_explicit_bins_are_stable_across_calls(self, tmp_path):
+        """Explicit bin edges (learning/evaluate.log_mae_histograms passes
+        linspace(0,1,21)) make the JSONL counts comparable across folds —
+        the recorded edges must be the passed ones, not the data range."""
+        import json
+
+        import numpy as np
+
+        from stratanet2_tpu.utils.experiment import MetricSink
+
+        edges = np.linspace(0.0, 1.0, 21)
+        sink = MetricSink(str(tmp_path))
+        sink.log_histogram("val_MAE_veg_b", [0.11, 0.12], epoch=1, bins=edges)
+        sink.log_histogram("val_MAE_veg_b", [0.7, 0.95], epoch=2, bins=edges)
+        sink.close()
+        recs = [
+            json.loads(l)
+            for l in open(os.path.join(str(tmp_path), "metrics.jsonl"))
+        ]
+        hist = [r["metrics"] for r in recs if "val_MAE_veg_b_hist_bins" in r["metrics"]]
+        assert len(hist) == 2
+        for h in hist:
+            np.testing.assert_allclose(h["val_MAE_veg_b_hist_bins"], edges)
+            assert sum(h["val_MAE_veg_b_hist_counts"]) == 2
