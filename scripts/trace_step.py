@@ -25,7 +25,7 @@ from dataclasses import replace
 import numpy as np
 
 
-def build_step(mode: str):
+def build_step(mode: str, batch: int = 0, subsample: int = 0):
     import jax
     import jax.numpy as jnp
 
@@ -39,6 +39,10 @@ def build_step(mode: str):
     )
 
     cfg = Config()  # PROD geometry: subsample_size=10000, batch 20
+    if subsample:
+        cfg = replace(cfg, model=replace(cfg.model, subsample_size=subsample))
+    if batch:
+        cfg = replace(cfg, train=replace(cfg.train, batch_size=batch))
     b, n = cfg.train.batch_size, cfg.model.subsample_size
     rng = np.random.default_rng(0)
     cloud = jnp.asarray(rng.random((b, n, cfg.model.n_input_feats), np.float32))
@@ -64,7 +68,7 @@ def build_step(mode: str):
 
         def run(ts):
             out = estep(model_params, cloud, xyz, gt)
-            return ts, out[3]["total_loss"]
+            return ts, jnp.sum(out[3]["total_loss"])
 
     return run, ts
 
@@ -109,12 +113,16 @@ def main():
     ap.add_argument("--mode", default="train", choices=["train", "eval"])
     ap.add_argument("--steps", type=int, default=3)
     ap.add_argument("--top", type=int, default=30)
+    ap.add_argument("--batch", type=int, default=0, help="override batch size")
+    ap.add_argument(
+        "--subsample", type=int, default=0, help="override subsample_size"
+    )
     ap.add_argument("--logdir", default="/tmp/trace_step")
     ns = ap.parse_args()
 
     import jax
 
-    run, ts = build_step(ns.mode)
+    run, ts = build_step(ns.mode, ns.batch, ns.subsample)
     # warmup/compile outside the trace
     ts, s = run(ts)
     float(s)

@@ -287,7 +287,6 @@ def _knn_kernel(k: int, s_valid: int):
         tc = tgtt_ref.shape[2]
         s = src9_ref.shape[2]
         tgt3 = tgtt_ref[0]  # (3, TC) f32
-        tn = jnp.sum(tgt3 * tgt3, axis=0, keepdims=True)  # (1, TC)
         thi = tgt3.astype(jnp.bfloat16)
         tlo = (tgt3 - thi.astype(jnp.float32)).astype(jnp.bfloat16)
         t9t = jnp.concatenate([thi, tlo, thi], axis=0)  # (9, TC)
@@ -299,34 +298,49 @@ def _knn_kernel(k: int, s_valid: int):
         rows = jax.lax.broadcasted_iota(jnp.int32, (s, 1), 0)
         rows2 = jax.lax.broadcasted_iota(jnp.int32, (s, tc), 0)
         # dpart excludes the per-target norm (constant per lane: it cannot
-        # change the argmin); the exact dmin re-adds it below
+        # change the argmin); the exact dmin is recovered below by direct
+        # subtraction against the GATHERED winner coordinates, so no jnp.min
+        # pass over the (S, TC) tile is ever needed.
         dpart = xn_col - 2.0 * ab_t  # (S, TC)
         dpart = jnp.where(rows >= s_valid, jnp.float32(3.4e38), dpart)
 
         featst = featt_ref[0]  # (F, S)
         fhi = featst.astype(jnp.bfloat16)
         flo = (featst - fhi.astype(jnp.float32)).astype(jnp.bfloat16)
+        # ONE stacked gather operand [f_hi; x_hi; f_lo; x_lo] (2F+6, S):
+        # the MXU pads the M dim to 128 rows regardless, so a separate
+        # hi/lo dot PAIR costs twice one dot even at F+3=37 rows — stacking
+        # both halves into one operand halves the gather MXU work (the
+        # gather dots are the kernel's dominant FLOPs: padded-M 128 x TC x
+        # S per dot vs the 9-row distance dot). The coordinate rows ride
+        # along so the winner's exact position (hi+lo, ~1e-5 relative)
+        # comes out of the same dot and dmin = |x_sel - t|^2 by direct
+        # subtraction.
+        fx = jnp.concatenate(
+            [fhi, src9_ref[0, 0:3], flo, src9_ref[0, 6:9]], axis=0
+        )  # (2F+6, S)
+        f = featst.shape[0]
         acc = jnp.zeros((out_ref.shape[1], tc), jnp.float32)
         wsum = jnp.zeros((1, tc), jnp.float32)
         ws, idxs = [], []
-        dn_gather = (((1,), (0,)), ((), ()))  # (F, S) @ (S, TC)
+        dn_gather = (((1,), (0,)), ((), ()))  # (2F+6, S) @ (S, TC)
         for j in range(k):
-            pmin = jnp.min(dpart, axis=0, keepdims=True)  # (1, TC)
             idx = jnp.argmin(dpart, axis=0).astype(jnp.int32)[None, :]
-            onehot_t = (rows2 == idx).astype(jnp.bfloat16)  # (S, TC)
-            dmin = jnp.maximum(pmin + tn, 0.0)
+            hit = rows2 == idx  # (S, TC)
+            onehot_t = hit.astype(jnp.bfloat16)
+            selx = jax.lax.dot_general(
+                fx, onehot_t, dn_gather, preferred_element_type=jnp.float32
+            )  # (2F+6, TC)
+            sel = selx[: f + 3] + selx[f + 3 :]  # hi + lo, (F+3, TC)
+            dxyz = sel[f:] - tgt3  # (3, TC)
+            dmin = jnp.sum(dxyz * dxyz, axis=0, keepdims=True)  # exact |x-t|^2
             w = 1.0 / jnp.maximum(dmin, 1e-16)  # (1, TC)
-            sel = jax.lax.dot_general(
-                fhi, onehot_t, dn_gather, preferred_element_type=jnp.float32
-            ) + jax.lax.dot_general(
-                flo, onehot_t, dn_gather, preferred_element_type=jnp.float32
-            )  # (F, TC)
-            acc = acc + sel * w
+            acc = acc + sel[:f] * w
             wsum = wsum + w
             idxs.append(idx)
             ws.append(w)
             if j < k - 1:
-                dpart = jnp.where(rows2 == idx, jnp.float32(3.4e38), dpart)
+                dpart = jnp.where(hit, jnp.float32(3.4e38), dpart)
         out_ref[0] = acc / wsum
         # idx/w ride a (k, TC) layout: a (TC, k) block would put k on the
         # 128-lane tile dim, inflating the HBM array ~40x and dragging
@@ -410,16 +424,19 @@ def _knn_scatter_kernel(k: int):
         gt = gt_ref[0]  # (F, TC)
         acc = jnp.zeros((out_ref.shape[1], spad), jnp.float32)
         dn = (((1,), (0,)), ((), ()))  # (F, TC) @ (TC, SP)
+        fdim = out_ref.shape[1]
         for j in range(k):
             onehot = (cols == idx_ref[0, j, :][:, None]).astype(jnp.bfloat16)
             wg = gt * w_ref[0, j, :][None, :]  # (F, TC) f32
             hi = wg.astype(jnp.bfloat16)
             lo = (wg - hi.astype(jnp.float32)).astype(jnp.bfloat16)
-            acc = acc + jax.lax.dot_general(
-                hi, onehot, dn, preferred_element_type=jnp.float32
-            ) + jax.lax.dot_general(
-                lo, onehot, dn, preferred_element_type=jnp.float32
-            )
+            # stacked hi/lo halves in one dot (see _knn_kernel: a dot PAIR
+            # pays the per-dot fixed cost twice; M just streams)
+            hl = jnp.concatenate([hi, lo], axis=0)  # (2F, TC)
+            d = jax.lax.dot_general(
+                hl, onehot, dn, preferred_element_type=jnp.float32
+            )  # (2F, SP)
+            acc = acc + d[:fdim] + d[fdim:]
 
         jc = pl.program_id(1)
 
@@ -840,11 +857,10 @@ def _sa_kernel(k: int, g_real: int, n_valid: int, r2: float, two_layer: bool, bl
             x9b = x9_ref[0, bi]  # (9, blk*G) bf16
             pnb = pn_ref[0, bi]  # (1, blk*G) f32
             qb = q_ref[0, bi]  # (C1, blk*G) f32
-            # hi/lo split so the one-hot gather runs as two single-pass bf16
-            # matmuls while returning the q values f32-exact (to lo rounding,
-            # ~2^-17 relative) — 3x cheaper than a HIGHEST f32 matmul
-            qhi = qb.astype(jnp.bfloat16)
-            qlo = (qb - qhi.astype(jnp.float32)).astype(jnp.bfloat16)
+            # stacked hi/lo split so the one-hot gather runs as ONE bf16
+            # matmul while returning the q values f32-exact (to lo rounding,
+            # ~2^-17 relative) — 6x cheaper than a HIGHEST f32 matmul
+            qhl = _sa_hilo_stack(qb)  # (2C1, blk*G)
             for l in range(blk):
                 gi = bi * blk + l
                 sl = slice(l * g, (l + 1) * g)
@@ -867,13 +883,11 @@ def _sa_kernel(k: int, g_real: int, n_valid: int, r2: float, two_layer: bool, bl
                     idx = jnp.argmin(d2, axis=0).astype(jnp.int32)[None, :]
                 valid = dmin <= r2  # (1, CC)
                 onehot_t = (rowg2 == idx).astype(jnp.bfloat16)  # (G, CC)
-                sel = jax.lax.dot_general(
-                    qhi[:, sl], onehot_t, dn_gather,
+                selhl = jax.lax.dot_general(
+                    qhl[:, sl], onehot_t, dn_gather,
                     preferred_element_type=jnp.float32,
-                ) + jax.lax.dot_general(
-                    qlo[:, sl], onehot_t, dn_gather,
-                    preferred_element_type=jnp.float32,
-                )  # (C1, CC)
+                )  # (2C1, CC) stacked halves, one dot (_sa_hilo_stack)
+                sel = selhl[:c1] + selhl[c1:]  # (C1, CC)
                 e = jax.nn.relu(sel - ctermt) * a1 + c1v
                 if two_layer:
                     b2 = aff_ref[2, :c2][:, None]
@@ -1189,16 +1203,28 @@ def _sa_hilo(x):
     return hi, lo
 
 
+def _sa_hilo_stack(x):
+    """hi/lo halves stacked along dim 0: one MXU dot instead of a pair.
+
+    A hi/lo dot PAIR pays the per-dot fixed MXU cost twice while the M dim
+    merely streams — stacking both bf16 halves into a (2C, ...) operand
+    halves the gather matmul cost (measured r3c on _knn_kernel: knn_fwd
+    4.08 -> 3.66 ms/step at PROD)."""
+    hi, lo = _sa_hilo(x)
+    return jnp.concatenate([hi, lo], axis=0)
+
+
 _DN_G = (((1,), (0,)), ((), ()))  # (C, G) @ (G, CC)
 
 
-def _sa_gather(qhi, qlo, sl, onehot_t):
-    """hi/lo one-hot gather: (C1, CC) = q[:, sl] @ onehot (G, CC)."""
-    return jax.lax.dot_general(
-        qhi[:, sl], onehot_t, _DN_G, preferred_element_type=jnp.float32
-    ) + jax.lax.dot_general(
-        qlo[:, sl], onehot_t, _DN_G, preferred_element_type=jnp.float32
+def _sa_gather(qhl, sl, onehot_t):
+    """Stacked hi/lo one-hot gather: (C1, CC) = q[:, sl] @ onehot (G, CC),
+    qhl = [q_hi; q_lo] (2C1, blk*G) bf16 (see _sa_hilo_stack)."""
+    d = jax.lax.dot_general(
+        qhl[:, sl], onehot_t, _DN_G, preferred_element_type=jnp.float32
     )
+    c = d.shape[0] // 2
+    return d[:c] + d[c:]
 
 
 def _sa_stats1_kernel(k: int, g_real: int, blk: int):
@@ -1220,14 +1246,14 @@ def _sa_stats1_kernel(k: int, g_real: int, blk: int):
         def body(bi, carry):
             ssum, ssq = carry
             qb = qg_ref[0, bi]
-            qhi, qlo = _sa_hilo(qb)
+            qhl = _sa_hilo_stack(qb)
             for l in range(blk):
                 gi = bi * blk + l
                 sl = slice(l * g, (l + 1) * g)
                 within = _sa_row(idx_ref, gi) - gi * g_real  # (1, CC)
                 vmask = (_sa_row(mask_ref, gi) > 0).astype(jnp.float32)
                 onehot_t = (rowg2 == within).astype(jnp.bfloat16)
-                h1 = jax.nn.relu(_sa_gather(qhi, qlo, sl, onehot_t) - ctermt)
+                h1 = jax.nn.relu(_sa_gather(qhl, sl, onehot_t) - ctermt)
                 hc = h1 - shift
                 hm = hc * vmask
                 ssum = ssum + jnp.sum(hm, axis=1, keepdims=True)
@@ -1269,7 +1295,7 @@ def _sa_train_main_kernel(k: int, g_real: int, blk: int, two_layer: bool):
         def body(bi, carry):
             ssum, ssq, vmax, vmin, amax, amin = carry
             qb = qg_ref[0, bi]
-            qhi, qlo = _sa_hilo(qb)
+            qhl = _sa_hilo_stack(qb)
             for l in range(blk):
                 gi = bi * blk + l
                 sl = slice(l * g, (l + 1) * g)
@@ -1277,7 +1303,7 @@ def _sa_train_main_kernel(k: int, g_real: int, blk: int, two_layer: bool):
                 mrow = _sa_row(mask_ref, gi) > 0  # (1, CC) bool
                 vmask = mrow.astype(jnp.float32)
                 onehot_t = (rowg2 == within).astype(jnp.bfloat16)
-                h1 = jax.nn.relu(_sa_gather(qhi, qlo, sl, onehot_t) - ctermt)
+                h1 = jax.nn.relu(_sa_gather(qhl, sl, onehot_t) - ctermt)
                 if two_layer:
                     y1 = h1 * a1 + c1v
                     u = jax.lax.dot_general(
@@ -1357,18 +1383,24 @@ def _sa_train_bwd1_kernel(k: int, g_real: int, blk: int):
         dn_l2 = (((1,), (0,)), ((), ()))  # (C2, C1) @ (C1, CC)
         dn_w2 = (((1,), (1,)), ((), ()))  # (C2, CC) . (C1, CC) -> (C2, C1)
         dn_y1 = (((0,), (0,)), ((), ()))  # w2t (C2, C1) . du (C2, CC)
+        # dy1 = w2^T du via 2 bf16 dots instead of a 6-pass HIGHEST f32 dot:
+        # [w2hi | w2lo] (C2, 2C1) @ duhi covers hi.hi + lo.hi in one dot,
+        # + w2hi @ dulo; lo.lo dropped (~2^-16 relative, inside the grad-
+        # equality test tolerance).
+        w2hi, w2lo = _sa_hilo(w2t_ref[:, :])
+        w2hl = jnp.concatenate([w2hi, w2lo], axis=1)  # (C2, 2C1)
 
         def body(bi, carry):
             s11, s21, db2, dw2 = carry
             qb = qg_ref[0, bi]
-            qhi, qlo = _sa_hilo(qb)
+            qhl = _sa_hilo_stack(qb)
             for l in range(blk):
                 gi = bi * blk + l
                 sl = slice(l * g, (l + 1) * g)
                 within = _sa_row(idx_ref, gi) - gi * g_real
                 vmask = (_sa_row(mask_ref, gi) > 0).astype(jnp.float32)
                 onehot_t = (rowg2 == within).astype(jnp.bfloat16)
-                h1 = jax.nn.relu(_sa_gather(qhi, qlo, sl, onehot_t) - ctermt)
+                h1 = jax.nn.relu(_sa_gather(qhl, sl, onehot_t) - ctermt)
                 y1 = h1 * a1 + c1v
                 u = jax.lax.dot_general(
                     w2t_ref[:, :], y1, dn_l2, preferred_element_type=jnp.float32
@@ -1380,17 +1412,21 @@ def _sa_train_bwd1_kernel(k: int, g_real: int, blk: int):
                 du = jnp.where(u > 0, dh2, 0.0)  # (C2, CC)
                 duhi, dulo = _sa_hilo(du)
                 y1hi, y1lo = _sa_hilo(y1)
-                dw2 = dw2 + jax.lax.dot_general(
-                    duhi, y1hi, dn_w2, preferred_element_type=jnp.float32
-                ) + jax.lax.dot_general(
-                    duhi, y1lo, dn_w2, preferred_element_type=jnp.float32
-                ) + jax.lax.dot_general(
+                y1hl = jnp.concatenate([y1hi, y1lo], axis=0)  # (2C1, CC)
+                # duhi @ [y1hi; y1lo] in ONE dot (see _sa_hilo_stack) + the
+                # dulo @ y1hi cross term; lo.lo dropped as before
+                dhl = jax.lax.dot_general(
+                    duhi, y1hl, dn_w2, preferred_element_type=jnp.float32
+                )  # (C2, 2C1)
+                dw2 = dw2 + dhl[:, :c1] + dhl[:, c1:] + jax.lax.dot_general(
                     dulo, y1hi, dn_w2, preferred_element_type=jnp.float32
                 )
                 db2 = db2 + jnp.sum(du, axis=1, keepdims=True)
-                dy1 = jax.lax.dot_general(
-                    w2t_ref[:, :], du, dn_y1, preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST,
+                dyhl = jax.lax.dot_general(
+                    w2hl, duhi, dn_y1, preferred_element_type=jnp.float32
+                )  # (2C1, CC)
+                dy1 = dyhl[:c1] + dyhl[c1:] + jax.lax.dot_general(
+                    w2hi, dulo, dn_y1, preferred_element_type=jnp.float32
                 )  # (C1, CC)
                 xhat1 = (h1 - m1) * inv_s1
                 s11 = s11 + jnp.sum(dy1 * vmask, axis=1, keepdims=True)
@@ -1451,6 +1487,8 @@ def _sa_train_bwd2_kernel(k: int, g_real: int, blk: int, two_layer: bool):
             s2n = aff_ref[7, :c2][:, None]
             dn_l2 = (((1,), (0,)), ((), ()))
             dn_y1 = (((0,), (0,)), ((), ()))
+            w2hi, w2lo = _sa_hilo(w2t_ref[:, :])
+            w2hl = jnp.concatenate([w2hi, w2lo], axis=1)  # (C2, 2C1)
         awin = awin_ref[0]
         gt = gt_ref[0]
         dn_sc = (((1,), (1,)), ((), ()))  # de0 (C1, CC) . onehot (G, CC)
@@ -1463,7 +1501,7 @@ def _sa_train_bwd2_kernel(k: int, g_real: int, blk: int, two_layer: bool):
 
         def body(bi, dct):
             qb = qg_ref[0, bi]
-            qhi, qlo = _sa_hilo(qb)
+            qhl = _sa_hilo_stack(qb)
             dq_pieces = []
             for l in range(blk):
                 gi = bi * blk + l
@@ -1471,7 +1509,7 @@ def _sa_train_bwd2_kernel(k: int, g_real: int, blk: int, two_layer: bool):
                 within = _sa_row(idx_ref, gi) - gi * g_real
                 vmask = (_sa_row(mask_ref, gi) > 0).astype(jnp.float32)
                 onehot_t = (rowg2 == within).astype(jnp.bfloat16)
-                e0 = _sa_gather(qhi, qlo, sl, onehot_t) - ctermt
+                e0 = _sa_gather(qhl, sl, onehot_t) - ctermt
                 h1 = jax.nn.relu(e0)
                 if two_layer:
                     y1 = h1 * a1 + c1v
@@ -1484,10 +1522,12 @@ def _sa_train_bwd2_kernel(k: int, g_real: int, blk: int, two_layer: bool):
                     dy2 = jnp.where(awin == gi, gt, 0.0)
                     dh2 = gos2 * (dy2 - s1n - xhat2 * s2n) * vmask
                     du = jnp.where(u > 0, dh2, 0.0)
-                    dy1 = jax.lax.dot_general(
-                        w2t_ref[:, :], du, dn_y1,
-                        preferred_element_type=jnp.float32,
-                        precision=jax.lax.Precision.HIGHEST,
+                    duhi, dulo = _sa_hilo(du)
+                    dyhl = jax.lax.dot_general(
+                        w2hl, duhi, dn_y1, preferred_element_type=jnp.float32
+                    )  # (2C1, CC); see bwd1: 2 bf16 dots vs 6-pass HIGHEST
+                    dy1 = dyhl[:c1] + dyhl[c1:] + jax.lax.dot_general(
+                        w2hi, dulo, dn_y1, preferred_element_type=jnp.float32
                     )
                 else:
                     dy1 = jnp.where(awin == gi, gt, 0.0)
@@ -1495,13 +1535,12 @@ def _sa_train_bwd2_kernel(k: int, g_real: int, blk: int, two_layer: bool):
                 dh1 = gos1 * (dy1 - s11n - xhat1 * s21n) * vmask
                 de0 = jnp.where(e0 > 0, dh1, 0.0)  # (C1, CC)
                 dct = dct - de0
-                dehi, delo = _sa_hilo(de0)
+                dehl = _sa_hilo_stack(de0)  # (2C1, CC)
                 ohf = onehot_t  # bf16 (G, CC)
-                contrib = jax.lax.dot_general(
-                    dehi, ohf, dn_sc, preferred_element_type=jnp.float32
-                ) + jax.lax.dot_general(
-                    delo, ohf, dn_sc, preferred_element_type=jnp.float32
-                )  # (C1, G)
+                dsc = jax.lax.dot_general(
+                    dehl, ohf, dn_sc, preferred_element_type=jnp.float32
+                )  # (2C1, G)
+                contrib = dsc[:c1] + dsc[c1:]  # (C1, G)
                 dq_pieces.append(contrib)
             # per-group G-slices are disjoint: the concat IS the block's
             # scatter accumulation (Mosaic has no scatter-add lowering)
