@@ -167,7 +167,13 @@ def main():
     import jax.numpy as jnp
 
     from stratanet2_tpu.config import Config
+    from stratanet2_tpu.utils.experiment import enable_compilation_cache
     from dataclasses import replace
+
+    # Persistent XLA compile cache (same one the CLI entry points use): the
+    # fused-kernel programs take ~60 s to compile through the relay; caching
+    # only affects warmup, never the measured steady-state throughput.
+    enable_compilation_cache()
 
     cfg = Config()
     mcfg = replace(cfg.model, subsample_size=4096)
