@@ -213,6 +213,7 @@ def _add_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--PT_model_id", type=str, default="")
     p.add_argument("--inference_model_id", type=str, default="")
     p.add_argument("--plot_geotiff_file", action="store_true", default=None)
+    p.add_argument("--log_embeddings", action="store_true", default=None)
     p.add_argument("--use_pallas", type=lambda s: s.lower() in ("1", "true"), default=None)
     p.add_argument("--transfer_dtype", choices=["float32", "float16"])
     p.add_argument(
@@ -267,4 +268,6 @@ def parse_config(argv: Optional[list] = None) -> Tuple[Config, argparse.Namespac
         cfg = replace(cfg, experiments_path=ns.experiments_path)
     if ns.plot_geotiff_file is not None:
         cfg = replace(cfg, plot_geotiff_file=ns.plot_geotiff_file)
+    if ns.log_embeddings is not None:
+        cfg = replace(cfg, log_embeddings=ns.log_embeddings)
     return cfg, ns

@@ -65,21 +65,18 @@ def evaluate(
     embeddings: List[np.ndarray] = []
     embedding_names: List[str] = []
 
-    # Dispatch ALL batches before fetching any result (same pipelining as
-    # inference/predict.py): a per-batch device_get serializes every
-    # host->device upload with the compute through the relay. Holding the
-    # per-batch device outputs is cheap (~6 MB per PROD batch).
-    pending = []
-    for batch in loader:
-        outs = eval_step(
-            model,
-            jnp.asarray(batch["cloud"]),
-            jnp.asarray(batch["xyz"]),
-            jnp.asarray(batch["coverages"]),
-        )
-        pending.append((batch, outs))
+    # Pipeline dispatch ahead of fetch (same idea as inference/predict.py):
+    # a per-batch device_get serializes every host->device upload with the
+    # compute through the relay. The in-flight window is BOUNDED (advisor
+    # r3: unbounded dispatch-all holds every batch's host arrays + device
+    # outputs — aux carries per-POINT tensors, so a few hundred val batches
+    # would accumulate GBs of HBM). A window of 4 keeps the device busy
+    # while capping live memory at ~4 batches.
+    window = 4
 
-    for batch, (pred_pl, cov, proba, comps, aux, g) in pending:
+    def _drain(pending_item):
+        nonlocal n
+        batch, (pred_pl, cov, proba, comps, aux, g) = pending_item
         if cfg.log_embeddings and last_epoch:
             g = np.asarray(jax.device_get(g))
             for i in np.where(batch["valid"])[0]:
@@ -106,18 +103,39 @@ def evaluate(
                     batch, i, pred_pl[i], cov, proba, aux, cfg, stats_path, fold_id
                 )
 
+    pending: List = []
+    for batch in loader:
+        outs = eval_step(
+            model,
+            jnp.asarray(batch["cloud"]),
+            jnp.asarray(batch["xyz"]),
+            jnp.asarray(batch["coverages"]),
+        )
+        pending.append((batch, outs))
+        if len(pending) > window:
+            _drain(pending.pop(0))
+    for item in pending:
+        _drain(item)
+
     means = {k: sums[k] / max(n, 1) for k in LOSS_KEYS}
 
     if embeddings:
         # global SA3 feature per plot (reference `last_G_tensor`, logged to
         # the Comet embedding projector at learning/test.py:152-163)
         emb_path = os.path.join(stats_path, f"embeddings_fold_{fold_id}.npz")
-        np.savez(
-            emb_path,
-            embeddings=np.stack(embeddings),
-            plot_ids=np.array(embedding_names),
-        )
+        emb = np.stack(embeddings)
+        np.savez(emb_path, embeddings=emb, plot_ids=np.array(embedding_names))
         sink.log_metrics({"embeddings": emb_path})
+        # viewer-consumable form: TensorBoard projector TSVs (the reference
+        # pushed these vectors to the Comet projector, learning/test.py:152-163)
+        from stratanet2_tpu.utils.tboard import write_projector_embedding
+
+        write_projector_embedding(
+            os.path.join(stats_path, "tb"),
+            f"sa3_global_fold_{fold_id}",
+            emb,
+            embedding_names,
+        )
 
     if last_epoch and summaries:
         log_mae_histograms(summaries, stats_path, sink, fold_id, epoch)

@@ -24,7 +24,53 @@ import struct
 import time
 from typing import Optional
 
-__all__ = ["EventFileWriter"]
+__all__ = ["EventFileWriter", "write_projector_embedding"]
+
+
+def write_projector_embedding(tb_dir: str, name: str, vectors, labels) -> str:
+    """Export an embedding to TensorBoard's projector plugin.
+
+    The reference pushed the per-plot global SA3 feature to the Comet
+    embedding projector (learning/test.py:152-163). TensorBoard's projector
+    reads raw TSV tensors referenced from `projector_config.pbtxt` in the
+    logdir — no TF checkpoint needed. Repeated calls append one stanza per
+    distinct `name` (later calls with the same name overwrite the TSVs in
+    place, which is what per-epoch refreshes want).
+
+    Returns the vectors TSV path.
+    """
+    import numpy as np
+
+    os.makedirs(tb_dir, exist_ok=True)
+    vec = np.asarray(vectors, dtype=np.float32)
+    assert vec.ndim == 2, "expected (n, d) embeddings"
+    vec_name = f"{name}_vectors.tsv"
+    meta_name = f"{name}_metadata.tsv"
+    vec_path = os.path.join(tb_dir, vec_name)
+    with open(vec_path, "w") as f:
+        for row in vec:
+            f.write("\t".join(repr(float(x)) for x in row) + "\n")
+    with open(os.path.join(tb_dir, meta_name), "w") as f:
+        # single unnamed column: one label per row, no header (projector rule)
+        for lab in labels:
+            f.write(str(lab) + "\n")
+
+    cfg_path = os.path.join(tb_dir, "projector_config.pbtxt")
+    stanza = (
+        "embeddings {\n"
+        f'  tensor_name: "{name}"\n'
+        f'  tensor_path: "{vec_name}"\n'
+        f'  metadata_path: "{meta_name}"\n'
+        "}\n"
+    )
+    existing = ""
+    if os.path.exists(cfg_path):
+        with open(cfg_path) as f:
+            existing = f.read()
+    if f'tensor_name: "{name}"' not in existing:
+        with open(cfg_path, "a") as f:
+            f.write(stanza)
+    return vec_path
 
 _CRC_TABLE = []
 

@@ -157,3 +157,68 @@ class TestEventFile:
         for h in hist:
             np.testing.assert_allclose(h["val_MAE_veg_b_hist_bins"], edges)
             assert sum(h["val_MAE_veg_b_hist_counts"]) == 2
+
+
+class TestProjectorExport:
+    def test_write_projector_embedding(self, tmp_path):
+        """Projector TSVs + config stanza (reference Comet projector,
+        learning/test.py:152-163): vectors round-trip through the TSV and
+        repeated writes don't duplicate the config stanza."""
+        import numpy as np
+
+        from stratanet2_tpu.utils.tboard import write_projector_embedding
+
+        vec = np.arange(12, dtype=np.float32).reshape(3, 4) / 7.0
+        labels = ["P1", "P2", "P3"]
+        tb = str(tmp_path / "tb")
+        path = write_projector_embedding(tb, "sa3_global_fold_1", vec, labels)
+        back = np.loadtxt(path, delimiter="\t", dtype=np.float32)
+        np.testing.assert_array_equal(back, vec)
+        meta = open(os.path.join(tb, "sa3_global_fold_1_metadata.tsv")).read().split()
+        assert meta == labels
+
+        # second write (per-epoch refresh) overwrites TSVs, no dup stanza
+        write_projector_embedding(tb, "sa3_global_fold_1", vec + 1, labels)
+        cfg = open(os.path.join(tb, "projector_config.pbtxt")).read()
+        assert cfg.count('tensor_name: "sa3_global_fold_1"') == 1
+        # a different fold appends a second stanza
+        write_projector_embedding(tb, "sa3_global_fold_2", vec, labels)
+        cfg = open(os.path.join(tb, "projector_config.pbtxt")).read()
+        assert cfg.count("embeddings {") == 2
+
+    def test_evaluate_exports_projector(self, tmp_path):
+        """log_embeddings=True on the last epoch writes the npz AND the
+        projector TSVs from the real eval loop (reference logs the SA3
+        global feature to Comet's projector, learning/test.py:152-163)."""
+        from dataclasses import replace
+
+        import jax
+        import numpy as np
+
+        from stratanet2_tpu.learning.kde import fit_kde_mixture
+        from stratanet2_tpu.learning.evaluate import evaluate
+        from stratanet2_tpu.learning.train import make_eval_step
+        from stratanet2_tpu.models import init_pointnet2
+        from stratanet2_tpu.utils.experiment import MetricSink
+        from tests.synthetic import make_plot_dataset, tiny_config
+
+        rng = np.random.default_rng(0)
+        cfg = replace(tiny_config(), log_embeddings=True)
+        dataset = make_plot_dataset(rng, n_plots=4)
+        model = init_pointnet2(jax.random.PRNGKey(0), cfg.model)
+        kde = fit_kde_mixture(rng.uniform(0, 20, 2000))
+        sink = MetricSink(str(tmp_path))
+        evaluate(
+            model, dataset, list(dataset), cfg, kde, make_eval_step(cfg, kde),
+            str(tmp_path), sink, fold_id=1, epoch=2, last_epoch=True,
+        )
+        sink.close()
+        emb = np.load(os.path.join(str(tmp_path), "embeddings_fold_1.npz"))
+        assert emb["embeddings"].shape == (4, 64)  # SA3 global feature
+        tb = os.path.join(str(tmp_path), "tb")
+        vecs = np.loadtxt(
+            os.path.join(tb, "sa3_global_fold_1_vectors.tsv"), delimiter="\t"
+        )
+        np.testing.assert_allclose(vecs, emb["embeddings"], rtol=1e-6)
+        cfg_txt = open(os.path.join(tb, "projector_config.pbtxt")).read()
+        assert 'tensor_name: "sa3_global_fold_1"' in cfg_txt
