@@ -3,7 +3,7 @@
 VERDICT r2 next-round item 3: run the REAL workload — 300 epochs x >= 2
 folds at batch 20 x 10000 points (reference learning/train.py:82-177,
 config.py:88-97) — on a synthetic dataset of reference scale, early
-stopping enabled, with a forced SIGKILL + resume mid-schedule to prove the
+stopping enabled, with a forced SIGTERM crash + resume mid-schedule to prove the
 crash-recovery path on hardware. Records per-epoch wall clock, sustained
 train points/sec/chip, and final val MAE vs the predict-the-mean baseline.
 
@@ -160,7 +160,12 @@ def orchestrate(root: str, n_epoch: int) -> None:
             args.append("--resume")
         return subprocess.Popen(args, env=env)
 
-    # fold 1: SIGKILL mid-schedule once a resume checkpoint exists, resume.
+    # fold 1: kill mid-schedule once a resume checkpoint exists, resume.
+    # SIGTERM, not SIGKILL: killing a client mid-TPU-RPC can take down the
+    # axon stdio relay with it, and the relay cannot be restarted from
+    # inside the VM (CLAUDE.md; it died exactly this way in round 3).
+    # Python's default SIGTERM disposition still dies without running
+    # atexit/finally cleanup, so the resume path is exercised as a crash.
     kill_after = max(2 * 10 + 5, n_epoch // 6)  # past >=2 eval/checkpoint epochs
     p = spawn(1)
     got = _wait_for_epoch(
@@ -169,7 +174,7 @@ def orchestrate(root: str, n_epoch: int) -> None:
     )
     if got:
         print(f"KILLING fold-1 run (pid {p.pid}) past epoch {kill_after}", flush=True)
-        p.send_signal(signal.SIGKILL)
+        p.send_signal(signal.SIGTERM)
         p.wait()
         rc = spawn(1, resume=True).wait()
         print(f"fold 1 resumed run exit code {rc}", flush=True)

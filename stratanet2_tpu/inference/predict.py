@@ -75,9 +75,12 @@ def make_point_sharded_predict_step(cfg: Config, n_devices: int):
         )
     mesh = make_mesh_2d(1, d)
 
+    @jax.jit
     def step(model: PointNet2Params, cloud, xyz):
         # same f32-compute contract as make_predict_step: inputs may ride
-        # the reduced transfer dtype (DataConfig.transfer_dtype)
+        # the reduced transfer dtype (DataConfig.transfer_dtype). The whole
+        # step is ONE jitted program (shard_map forward + projections) —
+        # eager execution would pay the ~30-50 ms relay RPC per op.
         cloud = cloud.astype(jnp.float32)
         xyz = xyz.astype(jnp.float32)
         with mesh:

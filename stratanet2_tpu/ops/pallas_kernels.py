@@ -522,12 +522,16 @@ def gather_rows(x: jax.Array, idx: jax.Array) -> jax.Array:
     is the MXU one-hot scatter (`scatter_add_pallas`): the default jnp.take
     transpose is an XLA scatter-add, which serializes on TPU.
 
-    Under shard_map(check_vma=True) (point-sharded training) the raw path
-    with the default XLA transpose is used instead: interpret-mode pallas
-    lowers block fetches as dynamic_slice with invariant grid indices,
-    which the VMA checker rejects against varying operands."""
+    Under shard_map(check_vma=True) (point-sharded training) on a NON-TPU
+    backend the raw path with the default XLA transpose is used instead:
+    interpret-mode pallas lowers block fetches as dynamic_slice with
+    invariant grid indices, which the VMA checker rejects against varying
+    operands. On the TPU backend the pallas VJP compiles (out_shape vma is
+    declared via _sds(like=...)), so point-sharded training keeps the MXU
+    one-hot scatter instead of paying XLA's serialized scatter-add
+    (advisor r3)."""
     try:
-        if jax.typeof(x).vma:
+        if jax.typeof(x).vma and jax.default_backend() != "tpu":
             return gather_rows_raw(x, idx)
     except (AttributeError, TypeError):
         pass
