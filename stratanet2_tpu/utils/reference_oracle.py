@@ -47,6 +47,7 @@ __all__ = [
     "fps_numpy",
     "radius_numpy",
     "reference_forward",
+    "reference_train_loss",
     "reference_plotwise_coverages",
     "make_reference_state_dict",
 ]
@@ -229,6 +230,216 @@ def reference_forward(
             covs.append((proba * density).numpy())
             probas.append(proba.numpy())
     return np.stack(covs), np.stack(probas)
+
+
+def _mlp_train(sd: Dict, prefix: str, n_blocks: int, x: "torch.Tensor"):
+    """Seq of (Linear -> ReLU -> BatchNorm1d) in TRAIN mode: normalization by
+    biased batch statistics over the full (long-form) batch axis, exactly
+    torch BatchNorm1d training semantics (model/point_net2.py:45-53). The
+    reference flattens the whole batch before each MLP, so BN statistics
+    couple all clouds — the caller must pass the jointly flattened rows."""
+    import torch
+    import torch.nn.functional as F
+
+    for i in range(n_blocks):
+        w = sd[f"{prefix}.{i}.0.weight"]
+        b = sd[f"{prefix}.{i}.0.bias"]
+        x = F.relu(F.linear(x, w, b))
+        mean = x.mean(0)
+        var = x.var(0, unbiased=False)
+        g = sd[f"{prefix}.{i}.2.weight"]
+        beta = sd[f"{prefix}.{i}.2.bias"]
+        x = (x - mean) / torch.sqrt(var + 1e-5) * g + beta
+    return x
+
+
+def reference_train_loss(
+    sd: Dict,
+    cloud: "torch.Tensor",
+    xyz: np.ndarray,
+    gt: "torch.Tensor",
+    kde_grid: np.ndarray,
+    kde_pdfs: np.ndarray,
+    m: float,
+    e: float,
+    *,
+    n_centroids1: int,
+    n_centroids2: int,
+    r1: float,
+    r2: float,
+    z_max: float,
+    diam_pix: int,
+    max_num_neighbors: int = 2000,
+):
+    """Differentiable TRAIN-mode reference step: long-form forward with
+    train-mode BatchNorm (statistics over the whole flattened batch, as the
+    reference's single nn.Module forward computes them), plotwise projection,
+    and the 3-term loss abs + m*NLL + e*entropy
+    (/root/reference/learning/train.py:53-62, loss_functions.py:9-57).
+
+    torch autograd through this function yields reference-semantics
+    parameter gradients — the oracle for gradient-parity tests (every custom
+    VJP in the jax model is transitively validated against it in the
+    exactness regime).
+
+    Args:
+      sd: reference-layout torch tensors (requires_grad set by the caller on
+        the differentiable leaves).
+      cloud: (B, N, F_full) torch tensor of the FULL rescaled features
+        (x, y first — dropped for the network, used for the projection).
+      xyz: (B, N, 3) numpy centered positions in meters (selection is
+        non-differentiable, as in the reference's no-grad CUDA kernels).
+      gt: (B, 4) torch coverages.
+
+    Returns:
+      (total_loss torch scalar, dict of float components).
+    """
+    import torch
+
+    b, n, _ = cloud.shape
+    feats = cloud[..., 2:]
+    xy = cloud[..., :2]
+    x0f = feats.reshape(b * n, -1)
+    pos0 = torch.as_tensor(np.asarray(xyz, np.float32))
+    pos0f = pos0.reshape(b * n, 3)
+
+    def sa_stage(prefix, xf, posf, pos_np, n_per, n_c, r):
+        """One SAModule over the whole batch: per-cloud fps/radius edge
+        lists, ONE joint MLP over every edge (train BN couples clouds)."""
+        rows, cols, cent_rows, cents_np = [], [], [], []
+        for bi in range(b):
+            p_np = pos_np[bi]
+            idx = fps_numpy(p_np, n_c, start=0)
+            cent_rows.append(idx + bi * n_per)
+            cents_np.append(p_np[idx])
+            nbrs = radius_numpy(p_np, p_np[idx], r, max_num_neighbors)
+            for ci, hits in enumerate(nbrs):
+                rows.append(np.full(len(hits), bi * n_c + ci, np.int64))
+                cols.append(hits + bi * n_per)
+        row = torch.from_numpy(np.concatenate(rows))
+        col = torch.from_numpy(np.concatenate(cols))
+        cent = posf[torch.from_numpy(np.concatenate(cent_rows))]
+        msg = torch.cat([xf[col], posf[col] - cent[row]], dim=1)
+        msg = _mlp_train(sd, prefix, n_blocks(prefix), msg)
+        out = torch.zeros(b * n_c, msg.shape[1]).scatter_reduce(
+            0, row[:, None].expand_as(msg), msg, reduce="amax", include_self=False
+        )
+        return out, cent, np.stack(cents_np)
+
+    def n_blocks(p):
+        i = 0
+        while f"{p}.{i}.0.weight" in sd:
+            i += 1
+        return i
+
+    xyz_np = np.asarray(xyz, np.float32)
+    x1f, cent1f, cent1_np = sa_stage(
+        "sa1_module.conv.local_nn", x0f, pos0f, xyz_np, n, n_centroids1, r1
+    )
+    x2f, cent2f, cent2_np = sa_stage(
+        "sa2_module.conv.local_nn", x1f, cent1f, cent1_np, n_centroids1,
+        n_centroids2, r2,
+    )
+
+    # Global SA (:32-42): joint MLP, per-cloud max
+    g = _mlp_train(
+        sd, "sa3_module.nn", n_blocks("sa3_module.nn"),
+        torch.cat([x2f, cent2f], dim=1),
+    ).reshape(b, n_centroids2, -1).max(1).values  # (B, 64)
+
+    # FP3: k=1 from the single global point == broadcast (:91)
+    h = torch.cat(
+        [g[:, None, :].expand(b, n_centroids2, g.shape[1]).reshape(b * n_centroids2, -1), x2f],
+        dim=1,
+    )
+    h = _mlp_train(sd, "fp3_module.nn", n_blocks("fp3_module.nn"), h)
+    # FP2 / FP1: per-cloud knn (k=3), joint MLPs (:92-93)
+    h2 = h.reshape(b, n_centroids2, -1)
+    interp = torch.cat(
+        [
+            _knn_interpolate(
+                h2[bi],
+                cent2f.reshape(b, n_centroids2, 3)[bi],
+                cent1f.reshape(b, n_centroids1, 3)[bi],
+                3,
+            )
+            for bi in range(b)
+        ]
+    )
+    h = _mlp_train(
+        sd, "fp2_module.nn", n_blocks("fp2_module.nn"),
+        torch.cat([interp, x1f], dim=1),
+    )
+    h1 = h.reshape(b, n_centroids1, -1)
+    interp = torch.cat(
+        [
+            _knn_interpolate(
+                h1[bi], cent1f.reshape(b, n_centroids1, 3)[bi], pos0[bi], 3
+            )
+            for bi in range(b)
+        ]
+    )
+    h = _mlp_train(
+        sd, "fp1_module.nn", n_blocks("fp1_module.nn"),
+        torch.cat([interp, x0f], dim=1),
+    )
+
+    # head (:141-153); dropout p=0
+    import torch.nn.functional as F
+
+    h = F.relu(F.linear(h, sd["lin1.weight"], sd["lin1.bias"]))
+    scores = F.linear(h, sd["lin2.weight"], sd["lin2.bias"])
+    proba = torch.softmax(scores[:, :4], dim=1)
+    density = torch.sigmoid(scores[:, 4:])
+    cov = (proba * density).reshape(b, n, 4)
+
+    # plotwise projection (project_to_2d.py:7-55), differentiable pixel max
+    preds = []
+    for bi in range(b):
+        xy1 = xy[bi].detach().numpy()
+        mn, mx = xy1.min(0), xy1.max(0)
+        bins = np.floor((xy1 - mn) / (mx - mn + 1e-4) * diam_pix).astype(int)
+        flat = torch.from_numpy(bins[:, 0] * diam_pix + bins[:, 1])
+        pix_ids = torch.unique(flat)
+        pix_max = torch.zeros(diam_pix * diam_pix, 4).scatter_reduce(
+            0, flat[:, None].expand(n, 4), cov[bi], reduce="amax",
+            include_self=False,
+        )[pix_ids]
+        low = pix_max[:, 0]
+        preds.append(
+            torch.stack(
+                [low.mean(), (1.0 - low).mean(), pix_max[:, 2].mean(), pix_max[:, 3].mean()]
+            )
+        )
+    pred_pl = torch.stack(preds)  # (B, 4)
+
+    # losses (learning/loss_functions.py:9-57; EPS conventions of
+    # stratanet2_tpu.learning.losses, component-parity-tested against the
+    # reference formulas)
+    eps = 1e-4
+    d = pred_pl[:, [0, 2, 3]] - gt[:, [0, 2, 3]]
+    l_abs = torch.sqrt(d * d + eps).mean()
+
+    p = proba.reshape(b, n, 4)
+    pm = p[..., 2:]
+    l_e = -(pm * torch.log(pm + eps) + (1 - pm) * torch.log(1 - pm + eps)).mean()
+
+    z_m = (cloud[..., 2] * z_max).detach().numpy()
+    pdf_all = np.stack(
+        [np.interp(z_m, kde_grid, kde_pdfs[s]) for s in range(3)], axis=-1
+    ).astype(np.float32)  # (B, N, 3) constants (z is an input)
+    pdf_t = torch.from_numpy(pdf_all)
+    p_all = torch.stack([p[..., 0] + p[..., 1], p[..., 2], p[..., 3]], dim=-1)
+    l_nll = -torch.log((p_all * pdf_t).sum(-1)).mean()
+
+    total = l_abs + m * l_nll + e * l_e
+    comps = {
+        "total_loss": float(total),
+        "MAE_loss": float(l_abs),
+        "log_loss": float(l_nll),
+        "entropy_loss": float(l_e),
+    }
+    return total, comps
 
 
 def reference_plotwise_coverages(

@@ -166,3 +166,108 @@ class TestReferenceForwardParity:
             [0.733, 0.266, 0.235, 0.358, 0.500],
             atol=0,
         )
+
+
+class TestReferenceTrainParity:
+    def test_train_loss_and_gradients_match_reference(self):
+        """TRAIN-mode parity: one full loss (train BN + projection +
+        abs/NLL/entropy) and its parameter GRADIENTS agree with torch
+        autograd through the reference-semantics oracle on shared weights.
+        Transitively validates every custom VJP (kNN scatter, pixel-max
+        argmax routing, masked-BN train stats) against torch autograd in
+        the exactness regime (reference learning/train.py:53-66)."""
+        from stratanet2_tpu.learning.kde import fit_kde_mixture
+        from stratanet2_tpu.learning.losses import total_loss
+        from stratanet2_tpu.models import PointNet2Params
+        from stratanet2_tpu.utils.reference_oracle import reference_train_loss
+
+        rng = np.random.default_rng(31)
+        mcfg = _parity_config()
+        b = 2
+        feats, xyz = _synthetic_batch(rng, b=b, n=mcfg.subsample_size)
+        assert _max_neighbor_count(xyz, mcfg) <= min(mcfg.k1, mcfg.k2)
+        # full cloud convention: [x/10, y/10, z/z_max, 7 extras]
+        xy = (xyz[..., :2] / 10.0).astype(np.float32)
+        cloud = np.concatenate([xy, feats], axis=-1)
+        gt = rng.uniform(0, 1, (b, 4)).astype(np.float32)
+        kde = fit_kde_mixture(rng.uniform(0, 15, 4000))
+        m_w, e_w = 0.10, 0.04
+
+        sd = make_reference_state_dict(seed=13)
+        model = params_from_torch_state_dict(sd, mcfg)
+
+        # --- jax side: loss + grads wrt params (mirrors make_train_step) ---
+        kde_grid = jnp.asarray(kde.grid)
+        kde_pdfs = jnp.asarray(kde.pdfs)
+        cloud_j = jnp.asarray(cloud)
+        xyz_j = jnp.asarray(xyz)
+        gt_j = jnp.asarray(gt)
+
+        def loss_fn(params):
+            cov, proba, _ = pointnet2_forward(
+                PointNet2Params(params, model.state),
+                cloud_j[..., 2:], xyz_j, mcfg, train=True,
+            )
+            from stratanet2_tpu.ops import plotwise_coverages as plw
+
+            pred_pl = plw(cov, cloud_j[..., :2], mcfg.diam_pix)
+            z_m = cloud_j[..., 2] * mcfg.z_max
+            loss, (comps, _) = total_loss(
+                pred_pl, gt_j, proba, z_m, kde_grid, kde_pdfs, m_w, e_w
+            )
+            return loss, comps
+
+        (loss_j, comps_j), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            model.params
+        )
+
+        # --- torch side: autograd through the train-mode oracle ---
+        sd_t = {}
+        for k, v in sd.items():
+            t = torch.tensor(np.asarray(v))
+            if not k.endswith(("running_mean", "running_var")):
+                t.requires_grad_(True)
+            sd_t[k] = t
+        loss_t, comps_t = reference_train_loss(
+            sd_t, torch.tensor(cloud), xyz, torch.tensor(gt),
+            np.asarray(kde.grid), np.asarray(kde.pdfs), m_w, e_w,
+            n_centroids1=mcfg.n_centroids1, n_centroids2=mcfg.n_centroids2,
+            r1=mcfg.r1, r2=mcfg.r2, z_max=mcfg.z_max, diam_pix=mcfg.diam_pix,
+        )
+        loss_t.backward()
+
+        # loss values agree (rtol: our NLL interp computes the grid fraction
+        # in f32 where np.interp uses f64 — at G=5000 the f32 rounding of
+        # t = (z - g0)/dz is ~1e-4 of a grid step, a precision class, not a
+        # semantic difference; measured component deltas are <= 6e-5 relative)
+        np.testing.assert_allclose(
+            float(loss_j), comps_t["total_loss"], rtol=2e-4, atol=1e-5
+        )
+        for k in ("MAE_loss", "log_loss", "entropy_loss"):
+            np.testing.assert_allclose(
+                float(comps_j[k]), comps_t[k], rtol=2e-4, atol=1e-5, err_msg=k
+            )
+
+        # map the torch grads through the same layout converter (pure
+        # transposes, so it commutes with differentiation); running stats
+        # have no grads — placeholders ride into .state, which is ignored
+        grad_sd = {
+            k: (t.grad.numpy() if t.grad is not None else np.asarray(sd[k]))
+            for k, t in sd_t.items()
+        }
+        grads_ref = params_from_torch_state_dict(grad_sd, mcfg).params
+
+        flat_j = jax.tree_util.tree_flatten_with_path(grads)[0]
+        flat_r = jax.tree_util.tree_flatten_with_path(grads_ref)[0]
+        assert len(flat_j) == len(flat_r)
+        for (path_j, g_j), (path_r, g_r) in zip(flat_j, flat_r):
+            assert path_j == path_r
+            g_j, g_r = np.asarray(g_j), np.asarray(g_r)
+            # per-tensor atol scaled to its own magnitude: f32 accumulation
+            # order differs across frameworks (~1e-3 relative on deep-chain
+            # grads); semantic drift shows up as O(10-100%) deviations
+            scale = max(1e-3, float(np.max(np.abs(g_r))))
+            np.testing.assert_allclose(
+                g_j, g_r, atol=5e-3 * scale,
+                err_msg=jax.tree_util.keystr(path_j),
+            )
