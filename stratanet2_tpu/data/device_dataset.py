@@ -60,6 +60,8 @@ __all__ = [
     "build_device_dataset",
     "make_device_sampler",
     "make_device_epoch",
+    "make_device_eval",
+    "eval_index_table",
 ]
 
 
@@ -267,6 +269,62 @@ def make_device_epoch(cfg: Config, train_step_fn, mesh=None):
         in_shardings=(rep, rep, rep, rep, rep, idx_sh, rep),
         out_shardings=(rep, rep),
     )
+
+
+def make_device_eval(cfg: Config, eval_core):
+    """The whole VALIDATION pass as ONE jitted program (the eval analogue of
+    make_device_epoch): lax.scan over (subsample -> eval forward + per-item
+    losses). Periodic evals previously re-uploaded every val batch through
+    the host loader and fetched per batch — with the val set HBM-resident,
+    one (nb, B) index table goes up and the per-plot (pred_pl, loss
+    components) come back in a single fetch (~45 s of per-fold eval overhead
+    at the reference schedule, RESULTS.md).
+
+    `eval_core` is learning/train.make_eval_core's body: (model, cloud, xyz,
+    gt) -> (pred_pl, comps) with per-item components — the same math the
+    host-loader eval step uses, minus the per-point outputs (cov/proba/aux/
+    embeddings) that only figures need; stacking those over the scan would
+    return (nb, B, N, .) tensors, so the fast path is for figure-free evals.
+
+    Subsampling uses the deterministic eval pipeline (no augmentation) with
+    a caller-fixed key: every eval epoch sees the same subsample, so the
+    early-stopping signal is not jittered by selection noise."""
+    mcfg = cfg.model
+
+    @jax.jit
+    def run(model, feats, xyz, n, coverages, idx_table, key):
+        def body(_, inp):
+            plot_idx, i = inp
+            keys = jax.random.split(
+                jax.random.fold_in(key, i), plot_idx.shape[0]
+            )
+            cloud_b, xyz_s = jax.vmap(
+                lambda f, x, nn, k: _augment_subsample_one(
+                    f, x, nn, k, mcfg.subsample_size, False
+                )
+            )(feats[plot_idx], xyz[plot_idx], n[plot_idx], keys)
+            pred_pl, comps = eval_core(model, cloud_b, xyz_s, coverages[plot_idx])
+            return 0, (pred_pl, comps)
+
+        nb = idx_table.shape[0]
+        _, (preds, comps) = jax.lax.scan(
+            body, 0, (idx_table, jnp.arange(nb, dtype=jnp.int32))
+        )
+        return preds, comps  # (nb, B, 4), dict of (nb, B)
+
+    return run
+
+
+def eval_index_table(n_plots: int, batch_size: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Sequential val table padded to a batch multiple: returns
+    ((nb, B) int32 plot indices, (nb*B,) bool valid mask). Padding repeats
+    plot 0; the mask drops the duplicates at host aggregation."""
+    nb = -(-n_plots // batch_size)
+    idx = np.zeros(nb * batch_size, np.int32)
+    idx[:n_plots] = np.arange(n_plots, dtype=np.int32)
+    valid = np.zeros(nb * batch_size, bool)
+    valid[:n_plots] = True
+    return idx.reshape(nb, batch_size), valid
 
 
 def epoch_index_table(

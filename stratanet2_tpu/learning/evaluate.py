@@ -57,13 +57,62 @@ def evaluate(
     fold_id: int = 0,
     epoch: int = 0,
     last_epoch: bool = False,
+    device_eval=None,
 ) -> Tuple[Dict[str, float], List[Dict]]:
-    loader = PlotLoader(dataset, cfg, plot_ids=val_ids, train=False)
     sums = {k: 0.0 for k in LOSS_KEYS}
     n = 0
     summaries: List[Dict] = []
     embeddings: List[np.ndarray] = []
     embedding_names: List[str] = []
+
+    # Device-resident fast path (data/device_dataset.make_device_eval): the
+    # whole val pass is one device program over the HBM-resident val set —
+    # one index table up, per-plot (pred_pl, losses) down in a single fetch.
+    # Only figure-free evals qualify: the last epoch draws per-plot
+    # interpretation figures (and embeddings) from per-point tensors the
+    # fast path deliberately does not return.
+    use_fast = (
+        device_eval is not None
+        and not last_epoch
+        and not cfg.plot_name_to_visualize_during_training
+    )
+    if use_fast:
+        from stratanet2_tpu.data.device_dataset import eval_index_table
+
+        run, dd_val = device_eval
+        idx, valid_mask = eval_index_table(
+            len(dd_val.plot_ids), cfg.train.batch_size
+        )
+        # fixed key per fold: every eval epoch subsamples identically, so
+        # the early-stopping signal carries no selection noise
+        preds, comps = run(
+            model, dd_val.feats, dd_val.xyz, dd_val.n, dd_val.coverages,
+            jnp.asarray(idx), jax.random.PRNGKey(fold_id),
+        )
+        preds = np.asarray(jax.device_get(preds)).reshape(-1, 4)
+        comps = {
+            k: np.asarray(v).reshape(-1)
+            for k, v in jax.device_get(comps).items()
+        }
+        for j in np.flatnonzero(valid_mask):
+            pid = dd_val.plot_ids[j]
+            for k in LOSS_KEYS:
+                sums[k] += float(comps[k][j])
+            n += 1
+            summaries.append(
+                get_cloud_prediction_summary(
+                    pid,
+                    preds[j],
+                    np.asarray(dataset[pid]["coverages"]),
+                    int(dataset[pid]["N_points_in_cloud"]),
+                )
+            )
+        return _finalize_evaluate(
+            cfg, sums, n, summaries, embeddings, embedding_names,
+            stats_path, sink, fold_id, epoch, last_epoch,
+        )
+
+    loader = PlotLoader(dataset, cfg, plot_ids=val_ids, train=False)
 
     # Pipeline dispatch ahead of fetch (same idea as inference/predict.py):
     # a per-batch device_get serializes every host->device upload with the
@@ -117,6 +166,19 @@ def evaluate(
     for item in pending:
         _drain(item)
 
+    return _finalize_evaluate(
+        cfg, sums, n, summaries, embeddings, embedding_names,
+        stats_path, sink, fold_id, epoch, last_epoch,
+    )
+
+
+def _finalize_evaluate(
+    cfg, sums, n, summaries, embeddings, embedding_names,
+    stats_path, sink, fold_id, epoch, last_epoch,
+) -> Tuple[Dict[str, float], List[Dict]]:
+    """Shared tail of evaluate(): means, embedding exports, histograms and
+    confusion matrices — identical for the host-loader and device-resident
+    paths."""
     means = {k: sums[k] / max(n, 1) for k in LOSS_KEYS}
 
     if embeddings:

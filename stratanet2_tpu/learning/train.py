@@ -130,6 +130,52 @@ def make_train_step(
     return jax.jit(step, donate_argnums=(0,))
 
 
+def _eval_per_item(cfg: Config, kde_grid, kde_pdfs):
+    """Per-plot eval losses — the single implementation shared by the
+    host-loader eval step and the device-resident eval program."""
+
+    def per_item(pred1, gt1, proba1, z1):
+        l_abs_strata = absolute_loss_by_strata(pred1[None], gt1[None])
+        l_abs = jnp.mean(l_abs_strata)
+        # Same uniform-grid NLL as the train path (single implementation;
+        # jnp.interp's searchsorted serializes on TPU — see losses.nll_loss).
+        l_nll, (p_all, pdf) = nll_loss(proba1, z1, kde_grid, kde_pdfs)
+        l_e = entropy_loss(proba1)
+        l_total = l_abs + cfg.train.m * l_nll + cfg.train.e * l_e
+        return {
+            "total_loss": l_total,
+            "MAE_loss": l_abs,
+            "log_loss": l_nll,
+            "MAE_veg_b": l_abs_strata[0],
+            "MAE_veg_moy": l_abs_strata[1],
+            "MAE_veg_h": l_abs_strata[2],
+        }, (p_all, pdf)
+
+    return per_item
+
+
+def make_eval_core(cfg: Config, kde: KdeMixture):
+    """Un-jitted eval body returning only the per-plot outputs —
+    (pred_pl (B, 4), comps dict of (B,)) — for embedding in larger compiled
+    programs (data/device_dataset.make_device_eval)."""
+    mcfg = cfg.model
+    kde_grid = jnp.asarray(kde.grid)
+    kde_pdfs = jnp.asarray(kde.pdfs)
+    per_item = _eval_per_item(cfg, kde_grid, kde_pdfs)
+
+    def core(model: PointNet2Params, cloud, xyz, gt):
+        cloud = cloud.astype(jnp.float32)
+        xyz = xyz.astype(jnp.float32)
+        gt = gt.astype(jnp.float32)
+        cov, proba, _ = pointnet2_forward(model, cloud[..., 2:], xyz, mcfg, train=False)
+        pred_pl = plotwise_coverages(cov, cloud[..., :2], mcfg.diam_pix)
+        z_m = cloud[..., 2] * mcfg.z_max
+        comps, _aux = jax.vmap(per_item)(pred_pl, gt, proba, z_m)
+        return pred_pl, comps
+
+    return core
+
+
 def make_eval_step(cfg: Config, kde: KdeMixture):
     """Batched eval step returning per-item losses/predictions so the host
     can aggregate over valid (non-padding) items — equivalent to the
@@ -137,6 +183,7 @@ def make_eval_step(cfg: Config, kde: KdeMixture):
     mcfg = cfg.model
     kde_grid = jnp.asarray(kde.grid)
     kde_pdfs = jnp.asarray(kde.pdfs)
+    per_item = _eval_per_item(cfg, kde_grid, kde_pdfs)
 
     def step(model: PointNet2Params, cloud, xyz, gt):
         cloud = cloud.astype(jnp.float32)
@@ -147,24 +194,6 @@ def make_eval_step(cfg: Config, kde: KdeMixture):
         )
         pred_pl = plotwise_coverages(cov, cloud[..., :2], mcfg.diam_pix)
         z_m = cloud[..., 2] * mcfg.z_max
-
-        def per_item(pred1, gt1, proba1, z1):
-            l_abs_strata = absolute_loss_by_strata(pred1[None], gt1[None])
-            l_abs = jnp.mean(l_abs_strata)
-            # Same uniform-grid NLL as the train path (single implementation;
-            # jnp.interp's searchsorted serializes on TPU — see losses.nll_loss).
-            l_nll, (p_all, pdf) = nll_loss(proba1, z1, kde_grid, kde_pdfs)
-            l_e = entropy_loss(proba1)
-            l_total = l_abs + cfg.train.m * l_nll + cfg.train.e * l_e
-            return {
-                "total_loss": l_total,
-                "MAE_loss": l_abs,
-                "log_loss": l_nll,
-                "MAE_veg_b": l_abs_strata[0],
-                "MAE_veg_moy": l_abs_strata[1],
-                "MAE_veg_h": l_abs_strata[2],
-            }, (p_all, pdf)
-
         comps, aux = jax.vmap(per_item)(pred_pl, gt, proba, z_m)
         return pred_pl, cov, proba, comps, aux, g
 
@@ -308,12 +337,16 @@ def _cached_programs(cfg, steps_per_epoch, kde, mesh, kind):
             "eval_step": make_eval_step(cfg, kde),
         }
         if kind == "device":
-            from stratanet2_tpu.data.device_dataset import make_device_epoch
+            from stratanet2_tpu.data.device_dataset import (
+                make_device_epoch,
+                make_device_eval,
+            )
 
             entry["epoch_fn"] = make_device_epoch(
                 cfg, make_train_step(cfg, optimizer, kde, jit=False),
                 mesh=mesh,
             )
+            entry["device_eval"] = make_device_eval(cfg, make_eval_core(cfg, kde))
         elif kind == "point_sharded":
             from stratanet2_tpu.parallel.point_sharded import (
                 make_point_sharded_train_step,
@@ -450,6 +483,7 @@ def train_full(
     optimizer = programs["optimizer"]
     eval_step = programs["eval_step"]
     ts = init_train_state(cfg, optimizer, seed=seed, pretrained_path=pretrained_path)
+    device_eval = None
     if device_data:
         from stratanet2_tpu.data.device_dataset import build_device_dataset
 
@@ -462,6 +496,21 @@ def train_full(
             f", data-parallel over {mesh.devices.size} devices"
             if mesh is not None else "",
         )
+        if len(val_ids):
+            # val set HBM-resident too: periodic evals run as one device
+            # program (evaluate()'s fast path; the last-epoch eval still
+            # takes the figure-capable host path)
+            dd_val = build_device_dataset(dataset, list(val_ids), cfg.model)
+            if mesh is not None:
+                from stratanet2_tpu.parallel import replicate
+
+                dd_val = dd_val._replace(
+                    feats=replicate(mesh, dd_val.feats),
+                    xyz=replicate(mesh, dd_val.xyz),
+                    n=replicate(mesh, dd_val.n),
+                    coverages=replicate(mesh, dd_val.coverages),
+                )
+            device_eval = (programs["device_eval"], dd_val)
     else:
         train_step = programs["train_step"]
 
@@ -535,6 +584,7 @@ def train_full(
                     PointNet2Params(ts.params, ts.model_state),
                     dataset, val_ids, cfg, kde, eval_step, stats_path, sink,
                     fold_id=fold_id, epoch=current_epoch,
+                    device_eval=device_eval,
                 )
                 test_losses["epoch"] = current_epoch
                 test_losses["step"] = int(jax.device_get(ts.step))

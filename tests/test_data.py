@@ -397,3 +397,111 @@ class TestDeviceDataset:
                 lg.setLevel(prev_level)
             used = any("Device-resident dataset" in m for m in records)
             assert used == expect, (dr, cap, records[:5])
+
+
+class TestDeviceEval:
+    """Device-resident eval program (data/device_dataset.make_device_eval +
+    learning/evaluate's fast path)."""
+
+    def test_device_eval_matches_eval_step_on_same_batches(self):
+        """The one-program eval equals the host-loader eval step fed the
+        SAME sampled batches (validates the scan composition; the math body
+        is shared via make_eval_core)."""
+        import numpy as np
+        import jax
+        import jax.numpy as jnp
+
+        from tests.synthetic import make_plot_dataset, tiny_config
+        from stratanet2_tpu.data.device_dataset import (
+            build_device_dataset,
+            eval_index_table,
+            make_device_eval,
+            _augment_subsample_one,
+        )
+        from stratanet2_tpu.learning.kde import fit_kde_mixture
+        from stratanet2_tpu.learning.train import make_eval_core, make_eval_step
+        from stratanet2_tpu.models import init_pointnet2
+
+        rng = np.random.default_rng(3)
+        cfg = tiny_config()
+        ds = make_plot_dataset(rng, n_plots=6, n_points=300)
+        pids = sorted(ds.keys())
+        dd = build_device_dataset(ds, pids, cfg.model)
+        kde = fit_kde_mixture(rng.uniform(0, 15, 2000))
+        model = init_pointnet2(jax.random.PRNGKey(0), cfg.model)
+
+        run = make_device_eval(cfg, make_eval_core(cfg, kde))
+        idx, valid = eval_index_table(len(pids), cfg.train.batch_size)
+        key = jax.random.PRNGKey(42)
+        preds, comps = run(
+            model, dd.feats, dd.xyz, dd.n, dd.coverages, jnp.asarray(idx), key
+        )
+
+        # reproduce each batch's subsample with the same per-batch keys and
+        # feed the host-loader eval step
+        eval_step = make_eval_step(cfg, kde)
+        for i in range(idx.shape[0]):
+            keys = jax.random.split(jax.random.fold_in(key, i), idx.shape[1])
+            cloud_b, xyz_b = jax.vmap(
+                lambda f, x, n, k: _augment_subsample_one(
+                    f, x, n, k, cfg.model.subsample_size, False
+                )
+            )(dd.feats[idx[i]], dd.xyz[idx[i]], dd.n[idx[i]], keys)
+            pred_pl, _, _, comps_b, _, _ = eval_step(
+                model, cloud_b, xyz_b, dd.coverages[idx[i]]
+            )
+            np.testing.assert_allclose(
+                np.asarray(preds[i]), np.asarray(pred_pl), rtol=1e-6, atol=1e-6
+            )
+            for k in comps_b:
+                np.testing.assert_allclose(
+                    np.asarray(comps[k][i]), np.asarray(comps_b[k]),
+                    rtol=1e-5, atol=1e-6, err_msg=k,
+                )
+
+    def test_evaluate_fast_path_means_and_summaries(self, tmp_path):
+        """evaluate(device_eval=...) returns the same structure as the host
+        path (means over exactly the val plots, one summary per plot), is
+        deterministic across calls, and hits every LOSS_KEY."""
+        import numpy as np
+        import jax
+
+        from tests.synthetic import make_plot_dataset, tiny_config
+        from stratanet2_tpu.data.device_dataset import (
+            build_device_dataset,
+            make_device_eval,
+        )
+        from stratanet2_tpu.learning.evaluate import LOSS_KEYS, evaluate
+        from stratanet2_tpu.learning.kde import fit_kde_mixture
+        from stratanet2_tpu.learning.train import make_eval_core, make_eval_step
+        from stratanet2_tpu.models import init_pointnet2
+        from stratanet2_tpu.utils.experiment import MetricSink
+
+        rng = np.random.default_rng(5)
+        cfg = tiny_config()  # batch 4
+        ds = make_plot_dataset(rng, n_plots=5, n_points=300)  # 5 % 4 != 0: pad
+        pids = sorted(ds.keys())
+        dd_val = build_device_dataset(ds, pids, cfg.model)
+        kde = fit_kde_mixture(rng.uniform(0, 15, 2000))
+        model = init_pointnet2(jax.random.PRNGKey(0), cfg.model)
+        run = make_device_eval(cfg, make_eval_core(cfg, kde))
+        sink = MetricSink(str(tmp_path))
+
+        means1, summ1 = evaluate(
+            model, ds, pids, cfg, kde, make_eval_step(cfg, kde),
+            str(tmp_path), sink, fold_id=1, epoch=2,
+            device_eval=(run, dd_val),
+        )
+        means2, summ2 = evaluate(
+            model, ds, pids, cfg, kde, make_eval_step(cfg, kde),
+            str(tmp_path), sink, fold_id=1, epoch=4,
+            device_eval=(run, dd_val),
+        )
+        sink.close()
+        assert set(means1) == set(LOSS_KEYS)
+        assert len(summ1) == len(pids)  # padding duplicates dropped
+        assert [s["pl_id"] for s in summ1] == pids
+        for k in LOSS_KEYS:
+            assert np.isfinite(means1[k])
+            # fixed per-fold subsample key: eval is epoch-deterministic
+            np.testing.assert_allclose(means1[k], means2[k], rtol=1e-6)
