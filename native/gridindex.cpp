@@ -153,6 +153,7 @@ void disk_query_count(const double* xy, int64_t n, const double* centers,
   }
   Grid grid(xy, n, radius);
   const double r2 = radius * radius;
+  const double cell = radius;
 #pragma omp parallel for schedule(static)
   for (int64_t q = 0; q < m; ++q) {
     const double xq = centers[2 * q], yq = centers[2 * q + 1];
@@ -164,6 +165,14 @@ void disk_query_count(const double* xy, int64_t n, const double* centers,
     for (int gx = std::max(cx0, 0); gx <= std::min(cx1, grid.ncx - 1); ++gx)
       for (int gy = std::max(cy0, 0); gy <= std::min(cy1, grid.ncy - 1); ++gy) {
         const int c = gx * grid.ncy + gy;
+        double dmin2, dmax2;
+        cell_dist2_bounds(xq, yq, grid.x0 + gx * cell, grid.y0 + gy * cell,
+                          cell, &dmin2, &dmax2);
+        if (dmin2 > r2) continue;
+        if (dmax2 <= r2) {  // whole cell inside: count without testing
+          cnt += grid.cell_start[c + 1] - grid.cell_start[c];
+          continue;
+        }
         for (int32_t s = grid.cell_start[c]; s < grid.cell_start[c + 1]; ++s) {
           const int32_t j = grid.order[s];
           const double ddx = xy[2 * j] - xq, ddy = xy[2 * j + 1] - yq;
@@ -181,6 +190,7 @@ void disk_query_fill(const double* xy, int64_t n, const double* centers,
   if (n == 0) return;
   Grid grid(xy, n, radius);
   const double r2 = radius * radius;
+  const double cell = radius;
 #pragma omp parallel for schedule(static)
   for (int64_t q = 0; q < m; ++q) {
     const double xq = centers[2 * q], yq = centers[2 * q + 1];
@@ -192,6 +202,15 @@ void disk_query_fill(const double* xy, int64_t n, const double* centers,
     for (int gx = std::max(cx0, 0); gx <= std::min(cx1, grid.ncx - 1); ++gx)
       for (int gy = std::max(cy0, 0); gy <= std::min(cy1, grid.ncy - 1); ++gy) {
         const int c = gx * grid.ncy + gy;
+        double dmin2, dmax2;
+        cell_dist2_bounds(xq, yq, grid.x0 + gx * cell, grid.y0 + gy * cell,
+                          cell, &dmin2, &dmax2);
+        if (dmin2 > r2) continue;
+        if (dmax2 <= r2) {  // whole cell inside: bulk-copy its point ids
+          for (int32_t s = grid.cell_start[c]; s < grid.cell_start[c + 1]; ++s)
+            out[w++] = grid.order[s];
+          continue;
+        }
         for (int32_t s = grid.cell_start[c]; s < grid.cell_start[c + 1]; ++s) {
           const int32_t j = grid.order[s];
           const double ddx = xy[2 * j] - xq, ddy = xy[2 * j + 1] - yq;
