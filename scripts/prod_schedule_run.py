@@ -139,7 +139,10 @@ def _wait_for_epoch(metrics_path: str, epoch: int, proc, timeout: float):
         try:
             with open(metrics_path) as f:
                 for line in f:
-                    rec = json.loads(line)
+                    try:
+                        rec = json.loads(line)
+                    except json.JSONDecodeError:
+                        continue  # torn final line racing the child's append
                     if rec.get("epoch", 0) >= epoch and "epoch_seconds" in rec.get("metrics", rec):
                         return True
         except FileNotFoundError:

@@ -2,7 +2,8 @@
 
 Complements scripts/trace_step.py (which groups by stripped op name): prints
 each op instance with its `long_name`/shape args so relayout costs (copy /
-pad / fusion) can be attributed to the producing HLO.
+pad / fusion) can be attributed to the producing HLO. Trace loading and the
+device-op predicate are shared with trace_step.py.
 
 Usage: python scripts/trace_raw.py [--logdir /tmp/trace_step] [--top 40] [--steps 3]
 """
@@ -10,12 +11,13 @@ Usage: python scripts/trace_raw.py [--logdir /tmp/trace_step] [--top 40] [--step
 from __future__ import annotations
 
 import argparse
-import glob
-import gzip
-import json
 import os
 import re
+import sys
 from collections import defaultdict
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from trace_step import is_device_op, load_latest_trace  # noqa: E402
 
 
 def main():
@@ -26,30 +28,16 @@ def main():
     ap.add_argument("--filter", default="", help="regex on op name")
     ns = ap.parse_args()
 
-    paths = glob.glob(os.path.join(ns.logdir, "**", "*.trace.json.gz"), recursive=True)
-    assert paths, f"no trace under {ns.logdir}"
-    with gzip.open(sorted(paths)[-1], "rt") as f:
-        trace = json.load(f)
-
     per_op = defaultdict(float)
     detail = {}
-    for ev in trace["traceEvents"]:
-        if ev.get("ph") != "X":
+    for ev in load_latest_trace(ns.logdir):
+        if not is_device_op(ev):
             continue
         name = ev.get("name", "")
-        args = ev.get("args", {}) or {}
-        if not (
-            "long_name" in args
-            or "hlo_op" in args
-            or re.match(
-                r".*(fusion|custom-call|copy|convert|dot|reduce|transpose|scatter|gather|while|dynamic|slice|pallas|broadcast|iota|select|bitcast|concatenate|pad|pjit|tpu)",
-                name,
-            )
-        ):
-            continue
         if ns.filter and not re.search(ns.filter, name):
             continue
         per_op[name] += ev.get("dur", 0) / 1000.0
+        args = ev.get("args", {}) or {}
         ln = args.get("long_name") or args.get("hlo_op") or ""
         if ln:
             detail[name] = ln[:160]

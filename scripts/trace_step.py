@@ -73,31 +73,48 @@ def build_step(mode: str, batch: int = 0, subsample: int = 0):
     return run, ts
 
 
-def parse_trace(logdir: str, top: int, steps: int):
+# XLA device ops have 'long_name'/'hlo_op' args or fusion/custom-call-style
+# names (host threads don't) — shared with scripts/trace_raw.py
+_DEVICE_OP_RE = re.compile(
+    r".*(fusion|custom-call|copy|convert|dot|reduce|transpose|scatter|gather"
+    r"|while|dynamic|slice|pallas|broadcast|iota|select|bitcast|concatenate"
+    r"|pad|pjit|tpu)"
+)
+
+
+def load_latest_trace(logdir: str) -> list:
+    """Load traceEvents from the newest trace.json.gz under `logdir`."""
     paths = glob.glob(
         os.path.join(logdir, "**", "*.trace.json.gz"), recursive=True
     )
     assert paths, f"no trace under {logdir}"
     with gzip.open(sorted(paths)[-1], "rt") as f:
-        trace = json.load(f)
-    events = trace["traceEvents"]
+        return json.load(f)["traceEvents"]
 
-    # device-stream pids (TPU ops carry run_id/queue args; host threads don't)
+
+def is_device_op(ev: dict) -> bool:
+    """True for complete-span events that look like XLA device-stream ops."""
+    if ev.get("ph") != "X":
+        return False
+    args = ev.get("args", {}) or {}
+    return bool(
+        "long_name" in args
+        or "hlo_op" in args
+        or _DEVICE_OP_RE.match(ev.get("name", ""))
+    )
+
+
+def parse_trace(logdir: str, top: int, steps: int):
+    events = load_latest_trace(logdir)
+
     per_op = defaultdict(float)
     total = 0.0
     for ev in events:
-        if ev.get("ph") != "X":
-            continue
-        cat = ev.get("args", {}) or {}
-        name = ev.get("name", "")
-        # XLA device ops have 'long_name' or look like fusion/custom-call names
-        if not ("long_name" in cat or "hlo_op" in cat or re.match(
-            r".*(fusion|custom-call|copy|convert|dot|reduce|transpose|scatter|gather|while|dynamic|slice|pallas|broadcast|iota|select|bitcast|concatenate|pad|pjit|tpu)", name
-        )):
+        if not is_device_op(ev):
             continue
         dur = ev.get("dur", 0) / 1000.0  # us -> ms
         # strip trailing .N dedup suffixes
-        key = re.sub(r"\.\d+$", "", name)
+        key = re.sub(r"\.\d+$", "", ev.get("name", ""))
         per_op[key] += dur
         total += dur
 

@@ -69,6 +69,11 @@ def main(argv=None):
     mesh = None
     n_dev = len(jax.devices())
     predict_step = None
+    if ns_local.point_sharded and n_dev == 1:
+        logger.warning(
+            "--point_sharded ignored: only one device visible; "
+            "running the plain predict step"
+        )
     if ns_local.point_sharded and n_dev > 1:
         from stratanet2_tpu.inference.predict import make_point_sharded_predict_step
 

@@ -113,9 +113,18 @@ def build_device_dataset(
         feats_l.append(_cycle_pad(cloud_t, m))
         xyz_l.append(_cycle_pad(xyz_t, m))
         cov_l.append(cov)
+    n_with_gt = sum(c.size == 4 for c in cov_l)
+    if cov_l and 0 < n_with_gt < len(cov_l):
+        # mixed GT widths would silently train against a (P, 0) table; the
+        # host PlotLoader path fails loudly at np.stack — match it
+        bad = [pid for pid, c in zip(plot_ids, cov_l) if c.size != 4]
+        raise ValueError(
+            f"{len(bad)} of {len(plot_ids)} plots have malformed coverages "
+            f"(expected 4 values): {bad[:5]}"
+        )
     covs = (
         np.stack(cov_l)
-        if cov_l and all(c.size == 4 for c in cov_l)
+        if cov_l and n_with_gt == len(cov_l)
         else np.zeros((len(plot_ids), 0), np.float32)
     )
     return DeviceDataset(
@@ -175,21 +184,25 @@ def _augment_subsample_one(
     return jnp.stack(picked[:f], -1), jnp.stack(picked[f:], -1)
 
 
+def _sample_batch(mcfg: ModelConfig, feats, xyz_all, n_all, plot_idx, key, train):
+    """Shared batch-assembly body: gather B whole-plot rows and
+    augment+subsample each (the single source of the sampling semantics for
+    make_device_sampler / make_device_epoch / make_device_eval)."""
+    keys = jax.random.split(key, plot_idx.shape[0])
+    return jax.vmap(
+        lambda f, x, n, k: _augment_subsample_one(
+            f, x, n, k, mcfg.subsample_size, train
+        )
+    )(feats[plot_idx], xyz_all[plot_idx], n_all[plot_idx], keys)
+
+
 def make_device_sampler(mcfg: ModelConfig, train: bool):
     """Jitted (dd, plot_idx (B,), key) -> batch dict of device arrays with
     the PlotLoader batch schema (cloud/xyz/coverages)."""
 
     @jax.jit
     def _sample(feats, xyz_all, n_all, coverages, plot_idx, key):
-        feats_b = feats[plot_idx]  # B whole-plot slices: fine on TPU
-        xyz_b = xyz_all[plot_idx]
-        n_b = n_all[plot_idx]
-        keys = jax.random.split(key, plot_idx.shape[0])
-        cloud, xyz = jax.vmap(
-            lambda f, x, n, k: _augment_subsample_one(
-                f, x, n, k, mcfg.subsample_size, train
-            )
-        )(feats_b, xyz_b, n_b, keys)
+        cloud, xyz = _sample_batch(mcfg, feats, xyz_all, n_all, plot_idx, key, train)
         return {
             "cloud": cloud,
             "xyz": xyz,
@@ -228,15 +241,9 @@ def make_device_epoch(cfg: Config, train_step_fn, mesh=None):
         def body(ts, inp):
             plot_idx, i = inp
             kb = jax.random.fold_in(key, i)
-            feats_b = feats[plot_idx]
-            xyz_b = xyz[plot_idx]
-            n_b = n[plot_idx]
-            keys = jax.random.split(jax.random.fold_in(kb, 1), plot_idx.shape[0])
-            cloud_b, xyz_s = jax.vmap(
-                lambda f, x, nn, k: _augment_subsample_one(
-                    f, x, nn, k, mcfg.subsample_size, True
-                )
-            )(feats_b, xyz_b, n_b, keys)
+            cloud_b, xyz_s = _sample_batch(
+                mcfg, feats, xyz, n, plot_idx, jax.random.fold_in(kb, 1), True
+            )
             ts, comps = train_step_fn(
                 ts, cloud_b, xyz_s, coverages[plot_idx],
                 jax.random.fold_in(kb, 2),
@@ -295,14 +302,9 @@ def make_device_eval(cfg: Config, eval_core):
     def run(model, feats, xyz, n, coverages, idx_table, key):
         def body(_, inp):
             plot_idx, i = inp
-            keys = jax.random.split(
-                jax.random.fold_in(key, i), plot_idx.shape[0]
+            cloud_b, xyz_s = _sample_batch(
+                mcfg, feats, xyz, n, plot_idx, jax.random.fold_in(key, i), False
             )
-            cloud_b, xyz_s = jax.vmap(
-                lambda f, x, nn, k: _augment_subsample_one(
-                    f, x, nn, k, mcfg.subsample_size, False
-                )
-            )(feats[plot_idx], xyz[plot_idx], n[plot_idx], keys)
             pred_pl, comps = eval_core(model, cloud_b, xyz_s, coverages[plot_idx])
             return 0, (pred_pl, comps)
 

@@ -119,8 +119,9 @@ def evaluate(
     # compute through the relay. The in-flight window is BOUNDED (advisor
     # r3: unbounded dispatch-all holds every batch's host arrays + device
     # outputs — aux carries per-POINT tensors, so a few hundred val batches
-    # would accumulate GBs of HBM). A window of 4 keeps the device busy
-    # while capping live memory at ~4 batches.
+    # would accumulate GBs of HBM). The pop-when-exceeded loop keeps up to
+    # window + 1 batches in flight — enough to hide the relay latency while
+    # bounding live memory.
     window = 4
 
     def _drain(pending_item):

@@ -488,6 +488,18 @@ def train_full(
         from stratanet2_tpu.data.device_dataset import build_device_dataset
 
         dd = build_device_dataset(dataset, list(train_ids), cfg.model)
+        if mesh is not None:
+            # Pre-replicate over the DP mesh: epoch_fn's in_shardings are
+            # replicated for the dataset operands, so a single-device-committed
+            # dd would be re-broadcast across the mesh on EVERY epoch call.
+            from stratanet2_tpu.parallel import replicate
+
+            dd = dd._replace(
+                feats=replicate(mesh, dd.feats),
+                xyz=replicate(mesh, dd.xyz),
+                n=replicate(mesh, dd.n),
+                coverages=replicate(mesh, dd.coverages),
+            )
         epoch_fn = programs["epoch_fn"]
         logger.info(
             "Device-resident dataset: %d plots x %d rows (%.1f MB HBM)%s",

@@ -165,12 +165,12 @@ def _sa_module(
         nbr_idx, nbr_mask = ball_query_grouped_pallas(
             centroids, pos, radius, k, layout="kc"
         )
-        k_axis, c_axis = 1, 2
+        k_axis = 1
     else:
         nbr_idx, nbr_mask = ball_query(
             centroids, pos, radius, k, chunk=chunk, method=bq_method
         )
-        k_axis, c_axis = 2, 1
+        k_axis = 2
     if preproject:
         # Layer 1 distributes over the edge concat [x_j, pos_j - pos_c]:
         # pre-project per POINT (q = x@W1x + pos@W1p + b1, N rows) and per

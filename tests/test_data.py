@@ -211,6 +211,27 @@ class TestDeviceDataset:
                     np.asarray(dd.feats[p, n:]), cloud.T[np.arange(m - n) % n]
                 )
 
+    def test_build_rejects_mixed_coverages(self):
+        """A malformed GT entry mixed into a supervised fold must raise, not
+        silently zero the whole (P, 0) table (advisor r3)."""
+        import numpy as np
+        import pytest
+
+        from tests.synthetic import tiny_config
+        from stratanet2_tpu.data.device_dataset import build_device_dataset
+
+        rng = np.random.default_rng(3)
+        ds = self._dataset(rng)
+        pids = sorted(ds.keys())
+        ds[pids[1]] = dict(ds[pids[1]], coverages=np.zeros(3, np.float32))
+        with pytest.raises(ValueError, match="malformed coverages"):
+            build_device_dataset(ds, pids, tiny_config().model)
+        # all-empty (SSL) folds still build with a (P, 0) table
+        for pid in pids:
+            ds[pid] = {k: v for k, v in ds[pid].items() if k != "coverages"}
+        dd = build_device_dataset(ds, pids, tiny_config().model)
+        assert dd.coverages.shape == (len(pids), 0)
+
     def test_eval_sampler_picks_uniform_original_subset(self):
         import numpy as np
         import jax
