@@ -113,14 +113,16 @@ def build_device_dataset(
         feats_l.append(_cycle_pad(cloud_t, m))
         xyz_l.append(_cycle_pad(xyz_t, m))
         cov_l.append(cov)
+    # size 4 = supervised GT, size 0 = no GT (SSL); anything else is a
+    # malformed entry that would otherwise silently zero the whole table
+    # to (P, 0) — the host PlotLoader path fails loudly at np.stack
+    bad = [pid for pid, c in zip(plot_ids, cov_l) if c.size not in (0, 4)]
     n_with_gt = sum(c.size == 4 for c in cov_l)
-    if cov_l and 0 < n_with_gt < len(cov_l):
-        # mixed GT widths would silently train against a (P, 0) table; the
-        # host PlotLoader path fails loudly at np.stack — match it
-        bad = [pid for pid, c in zip(plot_ids, cov_l) if c.size != 4]
+    if bad or 0 < n_with_gt < len(cov_l):
+        bad = bad or [pid for pid, c in zip(plot_ids, cov_l) if c.size != 4]
         raise ValueError(
-            f"{len(bad)} of {len(plot_ids)} plots have malformed coverages "
-            f"(expected 4 values): {bad[:5]}"
+            f"{len(bad)} of {len(plot_ids)} plots have malformed or missing "
+            f"coverages (expected 4 values, or none for SSL): {bad[:5]}"
         )
     covs = (
         np.stack(cov_l)
@@ -182,6 +184,22 @@ def _augment_subsample_one(
     picked = [op[:n_out] for op in sorted_ops[1:]]
     f = feats.shape[1]
     return jnp.stack(picked[:f], -1), jnp.stack(picked[f:], -1)
+
+
+def replicate_device_dataset(mesh, dd: "DeviceDataset") -> "DeviceDataset":
+    """Pre-replicate the device arrays over a DP mesh. The epoch/eval
+    programs declare replicated in_shardings for the dataset operands, so a
+    single-device-committed dataset would be re-broadcast across the mesh on
+    EVERY call; replicating once at build time makes those transfers a
+    no-op. plot_ids is host-side metadata and passes through."""
+    from stratanet2_tpu.parallel import replicate
+
+    return dd._replace(
+        feats=replicate(mesh, dd.feats),
+        xyz=replicate(mesh, dd.xyz),
+        n=replicate(mesh, dd.n),
+        coverages=replicate(mesh, dd.coverages),
+    )
 
 
 def _sample_batch(mcfg: ModelConfig, feats, xyz_all, n_all, plot_idx, key, train):

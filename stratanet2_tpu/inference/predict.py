@@ -169,13 +169,19 @@ def predict_parcel(
     # np.asarray blocks). A per-batch fetch serializes every host<->device
     # transfer with the compute — measured 2x end-to-end on parcel-scale
     # runs, far more through a slow transport. Outputs are tiny
-    # ((B, 3, P, P) rasters + (B, 4) preds), so holding them all is cheap.
+    # ((B, 3, P, P) rasters + (B, 4) preds), so holding them all is cheap —
+    # but keep only the batch fields the drain loop consumes, not the full
+    # padded cloud/xyz host arrays (~10 MB/batch at PROD geometry).
+    # Arrays pass to `step` as-is: jit commits them in one transfer, and the
+    # mesh path's device_put shard-places them directly (a jnp.asarray here
+    # would first commit to the default device, then reshard).
     pending = []
     for i, batch in enumerate(loader):
-        rasters, pred_pl = step(
-            model, jnp.asarray(batch["cloud"]), jnp.asarray(batch["xyz"])
-        )
-        pending.append((batch, rasters, pred_pl))
+        rasters, pred_pl = step(model, batch["cloud"], batch["xyz"])
+        meta = {
+            k: batch[k] for k in ("valid", "plot_id", "plot_center")
+        }
+        pending.append((meta, rasters, pred_pl))
         if max_batches is not None and i + 1 >= max_batches:
             break
 

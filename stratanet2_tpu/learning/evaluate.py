@@ -150,7 +150,7 @@ def evaluate(
             )
             if last_epoch or plot_name in cfg.plot_name_to_visualize_during_training:
                 _maybe_visualize(
-                    batch, i, pred_pl[i], cov, proba, aux, cfg, stats_path, fold_id
+                    batch, i, pred_pl[i], cov, aux, cfg, stats_path, fold_id
                 )
 
     pending: List = []
@@ -263,7 +263,7 @@ def log_mae_histograms(
         logger.warning("MAE histogram figure failed: %s", err)
 
 
-def _maybe_visualize(batch, i, pred_pl, cov, proba, aux, cfg, stats_path, fold_id):
+def _maybe_visualize(batch, i, pred_pl, cov, aux, cfg, stats_path, fold_id):
     try:
         from stratanet2_tpu.utils.visualize import create_predictions_interpretations
 

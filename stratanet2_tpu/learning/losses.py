@@ -81,6 +81,13 @@ def nll_loss(
         [p_ground, proba_pointwise[..., 2], proba_pointwise[..., 3]], axis=-1
     )
     likelihood = jnp.sum(p_all * pdf_all, axis=-1)
+    # The reference evaluates the scipy KDE directly, whose Gaussian tails
+    # are positive everywhere; our grid clamps out-of-range z to the edge
+    # row, where a stratum's pdf can be exactly 0 — floor the likelihood so
+    # a point beyond the training fold's z range cannot emit log(0) = -inf
+    # and poison the step with NaNs. 1e-12 is far below any in-range
+    # likelihood, so in-distribution losses are bit-identical.
+    likelihood = jnp.maximum(likelihood, 1e-12)
     return -jnp.mean(jnp.log(likelihood)), (p_all, pdf_all)
 
 

@@ -310,6 +310,20 @@ class EarlyStopper:
             return True, False
         return False, False
 
+    def state_dict(self) -> Dict[str, float]:
+        return {
+            "best_metric_value": self.best_metric_value,
+            "best_metric_epoch": self.best_metric_epoch,
+        }
+
+    def load_state_dict(self, state: Dict[str, float]) -> None:
+        self.best_metric_value = float(
+            state.get("best_metric_value", self.best_metric_value)
+        )
+        self.best_metric_epoch = int(
+            state.get("best_metric_epoch", self.best_metric_epoch)
+        )
+
 
 # Cross-fold program cache: cross-validation runs every fold in ONE
 # process (learning/crossval.py) but train_full used to rebuild the
@@ -489,17 +503,9 @@ def train_full(
 
         dd = build_device_dataset(dataset, list(train_ids), cfg.model)
         if mesh is not None:
-            # Pre-replicate over the DP mesh: epoch_fn's in_shardings are
-            # replicated for the dataset operands, so a single-device-committed
-            # dd would be re-broadcast across the mesh on EVERY epoch call.
-            from stratanet2_tpu.parallel import replicate
+            from stratanet2_tpu.data.device_dataset import replicate_device_dataset
 
-            dd = dd._replace(
-                feats=replicate(mesh, dd.feats),
-                xyz=replicate(mesh, dd.xyz),
-                n=replicate(mesh, dd.n),
-                coverages=replicate(mesh, dd.coverages),
-            )
+            dd = replicate_device_dataset(mesh, dd)
         epoch_fn = programs["epoch_fn"]
         logger.info(
             "Device-resident dataset: %d plots x %d rows (%.1f MB HBM)%s",
@@ -514,14 +520,11 @@ def train_full(
             # takes the figure-capable host path)
             dd_val = build_device_dataset(dataset, list(val_ids), cfg.model)
             if mesh is not None:
-                from stratanet2_tpu.parallel import replicate
-
-                dd_val = dd_val._replace(
-                    feats=replicate(mesh, dd_val.feats),
-                    xyz=replicate(mesh, dd_val.xyz),
-                    n=replicate(mesh, dd_val.n),
-                    coverages=replicate(mesh, dd_val.coverages),
+                from stratanet2_tpu.data.device_dataset import (
+                    replicate_device_dataset,
                 )
+
+                dd_val = replicate_device_dataset(mesh, dd_val)
             device_eval = (programs["device_eval"], dd_val)
     else:
         train_step = programs["train_step"]
@@ -542,6 +545,11 @@ def train_full(
         )
         start_epoch = payload["metadata"].get("epoch", 0) + 1
         train_loader.epoch = start_epoch - 1  # keep shuffle schedule aligned
+        # Restore early-stopping state: without it a resumed run resets
+        # best_metric_value to 1e6 and the first post-resume eval overwrites
+        # the (possibly better) pre-crash best checkpoint; patience would
+        # also restart from the resume point.
+        stopper.load_state_dict(payload["metadata"].get("stopper", {}))
         logger.info("Resuming fold %d from epoch %d", fold_id, start_epoch)
 
     if mesh is not None:
@@ -589,6 +597,7 @@ def train_full(
                     "epoch": current_epoch,
                     "step": int(jax.device_get(ts.step)),
                     "fold_id": fold_id,
+                    "stopper": stopper.state_dict(),
                 },
             )
             with sink.context(f"fold_{fold_id}_val"):

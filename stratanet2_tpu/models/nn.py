@@ -83,7 +83,13 @@ def batchnorm(
             dsum = jnp.sum(xc, axis=axes)
             sqsum = jnp.sum(xc * xc, axis=axes)
         else:
-            m = mask.astype(jnp.float32)[..., None]
+            # broadcast BEFORE counting: a mask merely broadcastable to
+            # x.shape[:-1] (e.g. (B, 1, K) against (B, C, K, F)) must count
+            # every broadcast row, or mean/var are inflated by the
+            # broadcast factor
+            m = jnp.broadcast_to(
+                mask.astype(jnp.float32)[..., None], xf.shape[:-1] + (1,)
+            )
             n = jnp.sum(m)
             dsum = jnp.sum(xc * m, axis=axes)
             sqsum = jnp.sum(xc * xc * m, axis=axes)

@@ -123,22 +123,11 @@ def _mxu_dist2_hilo(a9, an, bt9, bn) -> jax.Array:
     return an + bn - 2.0 * ab
 
 
-def _min_argmin_packed(d2: jax.Array, nbits: int):
-    """Fused (min, argmin) over the last axis in ONE reduction pass.
-
-    d2 >= 0, so its f32 bit pattern is monotonic as an int32; clobbering the
-    low `nbits` mantissa bits with the lane index makes a single int32 min
-    return both. Cost: the low bits of the returned min distance are zeroed
-    (relative error 2^(nbits-24), ~6e-5 for 9 bits) — below the bf16
-    cross-term noise, and only the selection compares these values.
-    """
-    col = jax.lax.broadcasted_iota(jnp.int32, d2.shape, d2.ndim - 1)
-    low = (1 << nbits) - 1
-    key = (jax.lax.bitcast_convert_type(d2, jnp.int32) & ~low) | col
-    kmin = jnp.min(key, axis=-1)
-    within = kmin & low
-    dmin = jax.lax.bitcast_convert_type(kmin & ~low, jnp.float32)
-    return dmin, within
+# NOTE: the packed min/argmin trick (f32 bit pattern of d2 >= 0 is
+# int-monotonic; clobber the low mantissa bits with the lane index so one
+# int32 min returns both min and argmin) is inlined by _fps_kernel,
+# _bq_kernel and _sa_kernel, each with its own nbits/clamping — see
+# docs/KERNELS.md for the d2>=0 precondition lesson.
 
 
 def _fps_kernel(n_samples: int, n_valid: int):

@@ -12,7 +12,7 @@ information loss, these ops shard the POINT axis across devices with
   index offsets. One all-gather of (C, K_local) indices per level instead
   of moving the cloud.
 - `plotwise_coverages_point_sharded` / `raster_projection_point_sharded` —
-  local masked segment-max over the point shard, then `jax.lax.pmax` across
+  local dense masked max over the point shard, then `jax.lax.pmax` across
   devices: max is associative, so the fused projection stays exact.
 
 These compose with batch-axis data parallelism on a 2-D mesh
@@ -26,6 +26,7 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import optax
 from jax.sharding import Mesh, PartitionSpec as P
 
 try:
@@ -128,12 +129,15 @@ def plotwise_coverages_point_sharded(
         b = jnp.clip(b, 0, diam_pix - 1)
         pix = b[:, 0] * diam_pix + b[:, 1]
         n_seg = diam_pix * diam_pix
-        pix_max = jax.ops.segment_max(cov, pix, num_segments=n_seg)
-        occupied = (
-            jax.ops.segment_max(jnp.ones((cov.shape[0],), jnp.float32), pix, num_segments=n_seg)
-            > 0
-        )
-        pix_max = jnp.where(occupied[:, None], pix_max, -jnp.inf)
+        # dense masked max instead of segment_max: XLA scatters serialize on
+        # TPU (CLAUDE.md); same formulation as the train path's
+        # plotwise_local below
+        seg = jnp.arange(n_seg, dtype=jnp.int32)
+        mask = pix[None, :] == seg[:, None]  # (n_seg, N_l)
+        pix_max = jnp.max(
+            jnp.where(mask[..., None], cov[None], jnp.float32(-1e30)), axis=1
+        )  # (n_seg, 4)
+        occupied = jnp.any(mask, axis=1)
         # max is associative: combine shards with pmax over ICI
         pix_max = jax.lax.pmax(pix_max, POINT_AXIS)
         occupied = jax.lax.pmax(occupied.astype(jnp.float32), POINT_AXIS) > 0
@@ -166,7 +170,8 @@ def raster_projection_point_sharded(
     diam_meters: int,
 ) -> jax.Array:
     """Point-sharded raster projection (math of ops.raster_projection,
-    model/project_to_2d.py:58-113): local segment-max + cross-device pmax."""
+    model/project_to_2d.py:58-113): local dense masked max + cross-device
+    pmax."""
 
     def local(xy_s, cov):
         sf = 10.0 * diam_pix / diam_meters
@@ -174,12 +179,13 @@ def raster_projection_point_sharded(
         b = jnp.clip(b, 0, diam_pix - 1)
         pix = b[:, 1] * diam_pix + b[:, 0]
         n_seg = diam_pix * diam_pix
-        pix_max = jax.ops.segment_max(cov, pix, num_segments=n_seg)
-        occupied = (
-            jax.ops.segment_max(jnp.ones((cov.shape[0],), jnp.float32), pix, num_segments=n_seg)
-            > 0
-        )
-        pix_max = jnp.where(occupied[:, None], pix_max, -jnp.inf)
+        # dense masked max (no segment_max: XLA scatters serialize on TPU)
+        seg = jnp.arange(n_seg, dtype=jnp.int32)
+        mask = pix[None, :] == seg[:, None]  # (n_seg, N_l)
+        pix_max = jnp.max(
+            jnp.where(mask[..., None], cov[None], -jnp.inf), axis=1
+        )  # (n_seg, 4)
+        occupied = jnp.any(mask, axis=1)
         pix_max = jax.lax.pmax(pix_max, POINT_AXIS)
         occupied = jax.lax.pmax(occupied.astype(jnp.float32), POINT_AXIS) > 0
         sel = pix_max[:, jnp.array([0, 2, 3])]
@@ -233,8 +239,6 @@ def pointnet2_forward_point_sharded(
 
     Requirements: N % dp == 0, k1 % dp == 0, n_centroids1 % dp == 0.
     """
-    import functools
-
     from stratanet2_tpu.models import nn
     from stratanet2_tpu.models.pointnet2 import _gather_raw
     from stratanet2_tpu.ops import farthest_point_sampling, knn_interpolate
@@ -268,7 +272,6 @@ def pointnet2_forward_point_sharded(
 
     def local_fn(params, state, cloud_l, xyz_l):
         # shapes inside: cloud_l (B_l, N_l, F), xyz_l (B_l, N_l, 3)
-        pid = jax.lax.axis_index(POINT_AXIS)
 
         def one(x0_l, pos0_l):
             # --- SA1: sharded ---
@@ -343,11 +346,10 @@ def pointnet2_forward_point_sharded(
             density = jax.nn.sigmoid(scores[..., mcfg.n_class :])
             return proba * density, proba
 
-        del pid  # (axis index only needed implicitly via collectives)
         return jax.vmap(one)(cloud_l, xyz_l)
 
     fn = shard_map(
-        functools.partial(local_fn),
+        local_fn,
         mesh=mesh,
         in_specs=(P(), P(), P(BATCH_AXIS, POINT_AXIS, None), P(BATCH_AXIS, POINT_AXIS, None)),
         out_specs=(P(BATCH_AXIS, POINT_AXIS, None), P(BATCH_AXIS, POINT_AXIS, None)),
@@ -397,8 +399,6 @@ def make_point_sharded_train_step(cfg, optimizer, kde, mesh: Mesh):
     learning/train.py:53-66 (step); SURVEY.md §2.4 (context-parallel
     analogue).
     """
-    import functools
-
     from stratanet2_tpu.models import nn
     from stratanet2_tpu.models.pointnet2 import (
         PointNet2Params,
@@ -574,8 +574,6 @@ def make_point_sharded_train_step(cfg, optimizer, kde, mesh: Mesh):
             loss_fn, has_aux=True
         )(ts.params)
         updates, new_opt = optimizer.update(grads, ts.opt_state, ts.params)
-        import optax
-
         new_params = optax.apply_updates(ts.params, updates)
         return type(ts)(new_params, new_state, new_opt, ts.step + 1), comps
 

@@ -224,7 +224,13 @@ class TestDeviceDataset:
         ds = self._dataset(rng)
         pids = sorted(ds.keys())
         ds[pids[1]] = dict(ds[pids[1]], coverages=np.zeros(3, np.float32))
-        with pytest.raises(ValueError, match="malformed coverages"):
+        with pytest.raises(ValueError, match="malformed"):
+            build_device_dataset(ds, pids, tiny_config().model)
+        # uniformly wrong width (every plot size 3) must ALSO raise — only
+        # size 0 marks a legitimate no-GT (SSL) plot
+        for pid in pids:
+            ds[pid] = dict(ds[pid], coverages=np.zeros(3, np.float32))
+        with pytest.raises(ValueError, match="malformed"):
             build_device_dataset(ds, pids, tiny_config().model)
         # all-empty (SSL) folds still build with a (P, 0) table
         for pid in pids:

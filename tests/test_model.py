@@ -159,6 +159,30 @@ class TestMaskedBatchNorm:
         np.testing.assert_allclose(np.asarray(s_masked["var"]), np.asarray(s_ref["var"]), rtol=1e-4)
         np.testing.assert_allclose(np.asarray(out_masked)[:100], np.asarray(out_ref), rtol=1e-4, atol=1e-5)
 
+    def test_broadcastable_mask_matches_full_mask(self, rng):
+        """A mask broadcastable to x.shape[:-1] (docstring contract) must
+        produce the same stats as the explicitly broadcast full-shape mask —
+        the count n has to include broadcast rows (advisor r3)."""
+        x = rng.normal(size=(4, 3, 10, 8)).astype(np.float32)
+        mask_b = rng.random((4, 1, 10)) > 0.3  # broadcastable over axis 1
+        mask_full = np.broadcast_to(mask_b, x.shape[:-1])
+        p, s = nn.init_batchnorm(8)
+        out_b, s_b = nn.batchnorm(
+            p, s, jnp.asarray(x), jnp.asarray(mask_b), train=True
+        )
+        out_f, s_f = nn.batchnorm(
+            p, s, jnp.asarray(x), jnp.asarray(mask_full), train=True
+        )
+        np.testing.assert_allclose(
+            np.asarray(s_b["mean"]), np.asarray(s_f["mean"]), rtol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(s_b["var"]), np.asarray(s_f["var"]), rtol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(out_b), np.asarray(out_f), rtol=1e-5, atol=1e-6
+        )
+
     def test_torch_parity_unmasked(self, rng):
         """Parity with torch.nn.BatchNorm1d (reference BN, model/point_net2.py:48)."""
         torch = pytest.importorskip("torch")

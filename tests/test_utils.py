@@ -149,7 +149,19 @@ class TestResume:
         from stratanet2_tpu.utils.experiment import MetricSink
 
         cfg = tiny_config()
-        cfg = replace(cfg, train=replace(cfg.train, n_epoch=2, n_epoch_test=1))
+        cfg = replace(
+            cfg,
+            train=replace(
+                cfg.train,
+                n_epoch=2,
+                n_epoch_test=1,
+                # exercise best-metric tracking across the resume without
+                # triggering an actual stop
+                use_early_stopping=True,
+                epoch_to_start_early_stop=100,
+                patience_in_epochs=100,
+            ),
+        )
         ds = make_plot_dataset(np.random.default_rng(0), n_plots=8, n_points=200)
         kde = fit_kde_mixture_from_dataset(ds)
         ids = np.array(sorted(ds.keys()))
@@ -157,12 +169,32 @@ class TestResume:
         # run 2 epochs; resume checkpoint is written each eval epoch
         train_full(ds, ids[:6], ids[6:], cfg, kde, str(tmp_path), sink, fold_id=1)
         assert os.path.exists(tmp_path / "PCC_model_fold_n=1.pt.resume")
+        # early-stopping state travels with the resume checkpoint: without
+        # it a resumed run resets best_metric_value to 1e6 and the first
+        # post-resume eval overwrites the pre-crash best model
+        from stratanet2_tpu.utils.checkpoint import load_checkpoint
+
+        stopper_state = load_checkpoint(
+            str(tmp_path / "PCC_model_fold_n=1.pt.resume")
+        )["metadata"]["stopper"]
+        assert stopper_state["best_metric_value"] < 1e6
+        pre_best = load_checkpoint(str(tmp_path / "PCC_model_fold_n=1.pt"))[
+            "metadata"
+        ]
         # extend schedule and resume: only epochs 3..4 run
         cfg4 = replace(cfg, train=replace(cfg.train, n_epoch=4))
         _, train_losses, _, _ = train_full(
             ds, ids[:6], ids[6:], cfg4, kde, str(tmp_path), sink, fold_id=1, resume=True
         )
         assert [d["epoch"] for d in train_losses] == [3, 4]
+        post_best = load_checkpoint(str(tmp_path / "PCC_model_fold_n=1.pt"))[
+            "metadata"
+        ]
+        if "best_metric_value" in post_best:  # early stopping enabled path
+            assert (
+                post_best["best_metric_value"]
+                <= pre_best.get("best_metric_value", 1e6) + 1e-9
+            )
 
 
 class TestCompilationCache:
