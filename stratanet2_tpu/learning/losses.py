@@ -85,9 +85,10 @@ def nll_loss(
     # are positive everywhere; our grid clamps out-of-range z to the edge
     # row, where a stratum's pdf can be exactly 0 — floor the likelihood so
     # a point beyond the training fold's z range cannot emit log(0) = -inf
-    # and poison the step with NaNs. 1e-12 is far below any in-range
-    # likelihood, so in-distribution losses are bit-identical.
-    likelihood = jnp.maximum(likelihood, 1e-12)
+    # and poison the step with NaNs. 1e-38 sits below every normal positive
+    # f32, so any likelihood the reference's math could produce is passed
+    # through unchanged (parity-tested); only exact zeros are rescued.
+    likelihood = jnp.maximum(likelihood, 1e-38)
     return -jnp.mean(jnp.log(likelihood)), (p_all, pdf_all)
 
 
