@@ -148,7 +148,7 @@ def prepare_and_save_plots_dataset(cfg: Config, gt_file_path: Optional[str] = No
         dataset[plot_id] = cloud_data
 
     out = cfg.data.plots_pickled_dataset_path
-    os.makedirs(os.path.dirname(out), exist_ok=True)
+    os.makedirs(os.path.dirname(out) or ".", exist_ok=True)
     with open(out, "wb") as f:
         pickle.dump(dataset, f)
     logger.info("Prepared dataset with %d plots -> %s", len(dataset), out)

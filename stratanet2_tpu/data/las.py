@@ -51,7 +51,15 @@ def read_las(path: str) -> LasData:
     ver_major, ver_minor = raw[24], raw[25]
     (offset_to_points,) = struct.unpack_from("<I", raw, 96)
     (n_vlrs,) = struct.unpack_from("<I", raw, 100)
-    point_format = raw[104] & 0x3F  # mask compression bit
+    if raw[104] & 0x80:
+        # LAZ sets bit 7 of the point-format byte; silently masking it
+        # would reinterpret the compressed stream as fixed-size records
+        # and decode garbage coordinates
+        raise ValueError(
+            f"{path}: LAZ-compressed point data is not supported — "
+            "decompress to .las first (e.g. laszip/pdal)"
+        )
+    point_format = raw[104] & 0x3F  # mask the remaining laszip marker bits
     (record_len,) = struct.unpack_from("<H", raw, 105)
     (legacy_count,) = struct.unpack_from("<I", raw, 107)
     sx, sy, sz = struct.unpack_from("<3d", raw, 131)

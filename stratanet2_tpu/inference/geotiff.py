@@ -191,6 +191,14 @@ def read_geotiff(path: str) -> GeoTiff:
     w, h = tags[T_WIDTH][0], tags[T_HEIGHT][0]
     c = tags.get(T_SPP, [1])[0]
     assert tags.get(T_COMPRESSION, [1])[0] == 1, "compressed TIFF unsupported"
+    # this reader decodes strips as f32; reinterpreting integer samples
+    # would silently produce denormal garbage bands
+    bits = tags.get(T_BITS, [32])
+    sfmt = tags.get(T_SAMPLE_FORMAT, [3] * c)
+    assert all(b == 32 for b in bits) and all(s == 3 for s in sfmt), (
+        f"{path}: only 32-bit IEEE-float samples supported "
+        f"(BitsPerSample={bits}, SampleFormat={sfmt})"
+    )
     offsets = tags[T_STRIP_OFFSETS]
     planar = tags.get(T_PLANAR, [1])[0]
     if planar == 2 and len(offsets) == c:

@@ -25,9 +25,16 @@ class Polygon:
 
     def __init__(self, rings: Sequence[np.ndarray]):
         assert rings, "polygon needs at least one ring"
-        self.rings = [np.asarray(r, np.float64) for r in rings]
-        for r in self.rings:
+        self.rings = []
+        for r in rings:
+            r = np.asarray(r, np.float64)
             assert r.ndim == 2 and r.shape[1] == 2
+            # _ray_cast/_segments_distance walk segments ring[i]->ring[i+1]
+            # and need the closing edge: close the ring if the caller didn't
+            # (shapefile rings arrive closed; hand-built ones often don't)
+            if not np.array_equal(r[0], r[-1]):
+                r = np.concatenate([r, r[:1]])
+            self.rings.append(r)
 
     @property
     def exterior(self) -> np.ndarray:
@@ -42,7 +49,8 @@ class Polygon:
         pts = np.atleast_2d(np.asarray(pts, np.float64))
         inside = np.zeros(len(pts), bool)
         for ring in self.rings:
-            inside ^= _ray_cast(pts, ring)
+            for lo, hi in _point_chunks(len(pts), len(ring)):
+                inside[lo:hi] ^= _ray_cast(pts[lo:hi], ring)
         return inside
 
     def boundary_distance(self, pts: np.ndarray) -> np.ndarray:
@@ -50,7 +58,10 @@ class Polygon:
         pts = np.atleast_2d(np.asarray(pts, np.float64))
         best = np.full(len(pts), np.inf)
         for ring in self.rings:
-            best = np.minimum(best, _segments_distance(pts, ring))
+            for lo, hi in _point_chunks(len(pts), len(ring)):
+                best[lo:hi] = np.minimum(
+                    best[lo:hi], _segments_distance(pts[lo:hi], ring)
+                )
         return best
 
     def contains_buffered(self, pts: np.ndarray, buffer: float) -> np.ndarray:
@@ -64,6 +75,16 @@ class Polygon:
                 return inside
             return inside & (self.boundary_distance(pts) >= -buffer)
         return self.contains(pts) | (self.boundary_distance(pts) <= buffer)
+
+
+def _point_chunks(n_pts: int, n_ring: int, budget: int = 4_000_000):
+    """Yield (lo, hi) point ranges sized so the (points x segments) f64
+    intermediates stay ~<100 MB: a parcel-scale mosaic (1e6 pixel centers)
+    against a 1500-vertex ring would otherwise materialize >10 GB at once
+    in _ray_cast/_segments_distance — same math, bounded memory."""
+    step = max(1, budget // max(n_ring, 1))
+    for lo in range(0, max(n_pts, 1), step):
+        yield lo, min(lo + step, n_pts)
 
 
 def _ray_cast(pts: np.ndarray, ring: np.ndarray) -> np.ndarray:
@@ -143,14 +164,28 @@ def sieve(values: np.ndarray, min_size: int, mask: np.ndarray | None = None) -> 
 
 
 def erode_disk(mask: np.ndarray, radius_pixels: float) -> np.ndarray:
-    """Erode a boolean mask by a disk: out[p] = all mask pixels within
-    radius of p are True. Equivalent (on the pixel grid) to testing pixel
-    centers against the negative-buffered polygonization of the mask
-    (geotiff_raster.py:174-187)."""
+    """Erode a boolean mask by a disk, PER 4-CONNECTED COMPONENT: out[p] =
+    the full disk around p lies within p's own component. This matches the
+    reference, which polygonizes the mask with rasterio.features.shapes
+    (4-connectivity) and negative-buffers each polygon separately
+    (geotiff_raster.py:174-187) — two regions touching only diagonally are
+    distinct polygons there, so eroding the union would wrongly let one
+    region's pixels support the other's disk at the junction."""
     from scipy import ndimage
 
     mask = np.asarray(mask, bool)
     r = int(np.floor(radius_pixels)) + 1
     yy, xx = np.mgrid[-r : r + 1, -r : r + 1]
     disk = (yy * yy + xx * xx) <= radius_pixels * radius_pixels
-    return ndimage.binary_erosion(mask, structure=disk, border_value=0)
+    four = np.array([[0, 1, 0], [1, 1, 1], [0, 1, 0]])
+    labels, n = ndimage.label(mask, structure=four)
+    out = np.zeros_like(mask)
+    if n == 0:
+        return out
+    # erode each component inside its r-padded bounding box only
+    for i, sl in enumerate(ndimage.find_objects(labels), start=1):
+        ys = slice(max(sl[0].start - r, 0), min(sl[0].stop + r, mask.shape[0]))
+        xs = slice(max(sl[1].start - r, 0), min(sl[1].stop + r, mask.shape[1]))
+        comp = labels[ys, xs] == i
+        out[ys, xs] |= ndimage.binary_erosion(comp, structure=disk, border_value=0)
+    return out

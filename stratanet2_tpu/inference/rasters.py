@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import logging
 import os
+import warnings
 from typing import List, Optional, Sequence
 
 import numpy as np
@@ -205,7 +206,13 @@ def get_parcel_predicted_values(tif_path: Optional[str]) -> dict:
     preds = {}
     if tif_path is not None:
         tif = read_geotiff(tif_path)
-        band_means = np.nanmean(tif.bands[:5], axis=(1, 2))
+        with warnings.catch_warnings():
+            # an all-NaN band (e.g. shape crop removed every pixel) warns
+            # and yields NaN — map it to the same -1.0 missing sentinel as
+            # an absent tif so the DBF never stores the string 'nan'
+            warnings.simplefilter("ignore", RuntimeWarning)
+            band_means = np.nanmean(tif.bands[:5], axis=(1, 2))
+        band_means = np.where(np.isnan(band_means), -1.0, band_means)
         for shp_field, band_name in SHP_FIELDS_NAME_DICT.items():
             preds[shp_field] = float(band_means[FINAL_RASTER_BANDNAMES.index(band_name)])
     else:

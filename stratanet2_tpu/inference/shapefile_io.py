@@ -86,7 +86,11 @@ def read_shapefile(path: str) -> Shapefile:
     assert len(records) == len(shapes), "dbf/shp record mismatch"
     return Shapefile(
         fields=fields,
-        shape_records=[ShapeRecord(s, r) for s, r in zip(shapes, records)],
+        # records read back as None were soft-deleted in the DBF: drop the
+        # shape/record pair entirely (what GIS tools display)
+        shape_records=[
+            ShapeRecord(s, r) for s, r in zip(shapes, records) if r is not None
+        ],
     )
 
 
@@ -108,6 +112,12 @@ def _read_dbf(path: str) -> Tuple[List[FieldSpec], List[Dict[str, object]]]:
     records: List[Dict[str, object]] = []
     for i in range(n_records):
         rpos = header_size + i * record_size
+        if raw[rpos : rpos + 1] == b"*":
+            # soft-deleted record (deletion flag '*'): pyshp — which this
+            # replaces — skips these; returning them would desync the
+            # record/shape pairing GIS tools display
+            records.append(None)  # placeholder keeps shp/dbf indices aligned
+            continue
         rec: Dict[str, object] = {}
         cpos = rpos + 1  # skip deletion flag
         for fs in fields:
@@ -203,9 +213,22 @@ def _write_dbf(path: str, fields: List[FieldSpec], records: List[Dict[str, objec
                         s = ""
                     elif fs.decimals:
                         s = f"{float(v):.{fs.decimals}f}"
+                        # shrink decimals before the integer part: silently
+                        # chopping trailing digits would store a DIFFERENT
+                        # number (123456789 in a 5-wide field read back as
+                        # 12345)
+                        dec = fs.decimals
+                        while len(s) > fs.length and dec > 0:
+                            dec -= 1
+                            s = f"{float(v):.{dec}f}".rstrip(".")
                     else:
                         s = str(int(v))
-                    f.write(s[: fs.length].rjust(fs.length).encode("ascii"))
+                    if len(s) > fs.length:
+                        raise ValueError(
+                            f"value {v!r} does not fit DBF field "
+                            f"{fs.name} ({fs.ftype}, width {fs.length})"
+                        )
+                    f.write(s.rjust(fs.length).encode("ascii"))
                 else:
                     f.write(str(v if v is not None else "")[: fs.length].ljust(fs.length).encode("ascii", "replace"))
         f.write(b"\x1a")

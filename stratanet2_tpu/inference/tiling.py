@@ -148,6 +148,11 @@ def save_tiling_figure(
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
+    if not len(plot_centers):
+        # a parcel whose polygon misses its cloud yields zero centers;
+        # np.stack([]) would raise and wedge the idempotent prepare
+        # worklist (the output pkl is written after this call)
+        return
     os.makedirs(os.path.dirname(save_path), exist_ok=True)
     fig, ax = plt.subplots(figsize=(10, 10), subplot_kw={"aspect": "equal"})
     sub = parcel_cloud[:, :: max(1, parcel_cloud.shape[1] // 10000)]

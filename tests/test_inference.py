@@ -79,6 +79,53 @@ class TestPolygons:
         assert not out[2, 2]  # near the edge, disk leaves the mask
         assert out.sum() < m.sum()
 
+    def test_erode_disk_diagonal_components_are_separate(self):
+        """The reference negative-buffers each 4-connected polygon
+        separately (geotiff_raster.py:174-187): two blocks touching only
+        diagonally must erode as two components, not as their union."""
+        m = np.zeros((16, 16), bool)
+        m[2:8, 2:8] = True
+        m[8:14, 8:14] = True  # touches the first block only at (8,8) corner
+        per_comp = P.erode_disk(m, 1.5)
+        # eroding each block alone gives the expected per-component result
+        a = np.zeros_like(m)
+        a[2:8, 2:8] = True
+        b = np.zeros_like(m)
+        b[8:14, 8:14] = True
+        want = P.erode_disk(a, 1.5) | P.erode_disk(b, 1.5)
+        np.testing.assert_array_equal(per_comp, want)
+
+    def test_unclosed_ring_matches_closed(self):
+        closed = np.array([[0, 0], [10, 0], [10, 10], [0, 10], [0, 0]], float)
+        unclosed = closed[:-1]
+        pts = np.array([[5, 5], [-1, 5], [0.5, 5], [5, 0.5], [11, 5]])
+        got = P.Polygon([unclosed]).contains(pts)
+        want = P.Polygon([closed]).contains(pts)
+        np.testing.assert_array_equal(got, want)
+        np.testing.assert_allclose(
+            P.Polygon([unclosed]).boundary_distance(pts),
+            P.Polygon([closed]).boundary_distance(pts),
+        )
+
+    def test_contains_chunked_matches_unchunked(self):
+        """_point_chunks must not change results (memory-bounding only)."""
+        rng = np.random.default_rng(0)
+        ring = np.array([[0, 0], [10, 0], [10, 10], [0, 10], [0, 0]], float)
+        pts = rng.uniform(-2, 12, (500, 2))
+        poly = P.Polygon([ring])
+        want_in = poly.contains(pts)
+        want_d = poly.boundary_distance(pts)
+        import unittest.mock as mock
+
+        orig = P._point_chunks
+        with mock.patch.object(
+            P, "_point_chunks", lambda n, r, budget=0: orig(n, r, 64)
+        ):
+            got_in = poly.contains(pts)
+            got_d = poly.boundary_distance(pts)
+        np.testing.assert_array_equal(got_in, want_in)
+        np.testing.assert_allclose(got_d, want_d)
+
 
 class TestIOEdgeCases:
     def test_geotiff_rejects_non_tiff(self, tmp_path):
@@ -110,6 +157,94 @@ class TestIOEdgeCases:
         assert out.shape_records[1].shape is not None
         with pytest.raises(AssertionError):
             out.get_shape("empty")
+
+    def test_dbf_soft_deleted_record_skipped(self, tmp_path):
+        shp = S.Shapefile(
+            fields=[S.FieldSpec("ID", "C", 8)],
+            shape_records=[
+                S.ShapeRecord(square(0, 0, 10), {"ID": "live"}),
+                S.ShapeRecord(square(20, 20, 10), {"ID": "dead"}),
+            ],
+        )
+        p = str(tmp_path / "d.shp")
+        S.write_shapefile(p, shp)
+        # soft-delete record 2: flip its deletion flag byte to '*'
+        dbf = tmp_path / "d.dbf"
+        raw = bytearray(dbf.read_bytes())
+        import struct
+
+        header_size, record_size = struct.unpack_from("<HH", raw, 8)
+        raw[header_size + record_size] = 0x2A
+        dbf.write_bytes(bytes(raw))
+        out = S.read_shapefile(p)
+        assert [sr.record["ID"] for sr in out.shape_records] == ["live"]
+
+    def test_dbf_numeric_width(self, tmp_path):
+        # decimals shrink to fit; an oversized integer part raises instead
+        # of silently storing a different number
+        shp = S.Shapefile(
+            fields=[S.FieldSpec("V", "N", 6, 4)],
+            shape_records=[S.ShapeRecord(square(0, 0, 1), {"V": 12.345678})],
+        )
+        p = str(tmp_path / "w.shp")
+        S.write_shapefile(p, shp)
+        out = S.read_shapefile(p)
+        assert abs(out.shape_records[0].record["V"] - 12.346) < 1e-9
+        bad = S.Shapefile(
+            fields=[S.FieldSpec("V", "N", 5, 0)],
+            shape_records=[S.ShapeRecord(square(0, 0, 1), {"V": 123456789})],
+        )
+        with pytest.raises(ValueError, match="does not fit"):
+            S.write_shapefile(str(tmp_path / "b.shp"), bad)
+
+    def test_las_rejects_laz(self, tmp_path):
+        from stratanet2_tpu.data.las import read_las, write_las
+
+        p = tmp_path / "c.las"
+        write_las(
+            str(p),
+            {"x": np.zeros(3), "y": np.zeros(3), "z": np.zeros(3)},
+        )
+        raw = bytearray(p.read_bytes())
+        raw[104] |= 0x80  # LAZ compression bit
+        p.write_bytes(bytes(raw))
+        with pytest.raises(ValueError, match="LAZ"):
+            read_las(str(p))
+
+    def test_geotiff_rejects_integer_samples(self, tmp_path, rng):
+        band = rng.uniform(0, 1, (5, 5)).astype(np.float32)
+        p = str(tmp_path / "i.tif")
+        G.write_geotiff(p, band, [0, 1, 0, 5, 0, -1])
+        raw = bytearray(open(p, "rb").read())
+        # rewrite SampleFormat (tag 339) values to 1 (unsigned int)
+        import struct
+
+        order, magic, ifd_off = struct.unpack_from("<2sHI", raw, 0)
+        (n,) = struct.unpack_from("<H", raw, ifd_off)
+        for i in range(n):
+            tag, t, cnt = struct.unpack_from("<HHI", raw, ifd_off + 2 + i * 12)
+            if tag == 339:
+                struct.pack_into("<H", raw, ifd_off + 2 + i * 12 + 8, 1)
+        open(p, "wb").write(bytes(raw))
+        with pytest.raises(AssertionError, match="IEEE-float"):
+            G.read_geotiff(p)
+
+    def test_empty_tiling_figure_is_noop(self, tmp_path):
+        from stratanet2_tpu.inference.tiling import save_tiling_figure
+
+        out = str(tmp_path / "fig" / "t.png")
+        save_tiling_figure(np.zeros((3, 10)), [], "PARCEL_X", out)
+        assert not os.path.exists(out)
+
+    def test_all_nan_band_means_use_sentinel(self, tmp_path):
+        from stratanet2_tpu.inference.rasters import get_parcel_predicted_values
+
+        bands = np.full((6, 4, 4), np.nan, np.float32)
+        bands[5] = 1.0  # weights band (not averaged) stays finite
+        p = str(tmp_path / "nanband.tif")
+        G.write_geotiff(p, bands, [0, 1, 0, 4, 0, -1])
+        preds = get_parcel_predicted_values(p)
+        assert preds and all(v == -1.0 for v in preds.values())
 
     def test_single_band_geotiff(self, tmp_path, rng):
         band = rng.uniform(0, 1, (7, 9)).astype(np.float32)
