@@ -2,9 +2,12 @@
 model-generated pseudo-labels from `predict --task pseudo_labelling`.
 
 Schedule overrides per main_SSL.py:46-52 (200 epochs, eval every epoch,
-early stopping from epoch 1 with patience 10, lr decay 0.75), single
-train/val split with up to 20%/100 validation plots (main_SSL.py:70-74),
-fold_id = -1 ("full" checkpoint name)."""
+lr decay 0.75, and the early-stop knobs start-epoch 1 / patience 10 —
+which, exactly as in the reference, only take effect when
+--use_early_stopping is passed: config.py:91 defaults it off and
+main_SSL.py never flips it), single train/val split with up to 20%/100
+validation plots (main_SSL.py:70-74), fold_id = -1 ("full" checkpoint
+name)."""
 
 from __future__ import annotations
 

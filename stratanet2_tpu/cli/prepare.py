@@ -57,9 +57,13 @@ def main(argv=None):
         plots = extract_plots_from_parcel(cfg, parcel_cloud, centers)
         logger.info("Parcel %s: kept %d plots", parcel_id, len(plots))
 
+        # atomic: the worklist treats any same-stem file as done, so a
+        # truncated pkl from a mid-dump crash would poison every later run
         out_path = os.path.join(output_folder, f"{parcel_id}.pkl")
-        with open(out_path, "wb") as f:
+        tmp_path = out_path + ".tmp"
+        with open(tmp_path, "wb") as f:
             pickle.dump(plots, f)
+        os.replace(tmp_path, out_path)
         if cfg.mode == "DEV":
             break
 

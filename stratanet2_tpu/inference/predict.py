@@ -205,10 +205,25 @@ def predict_parcel(
                 )
 
     if is_pseudo:
+        # DEV's max_batches cap can leave plots unpredicted (the reference
+        # pickles them anyway, predict.py:128-134, and its SSL loader then
+        # chokes): keep only plots that actually received pseudo-labels.
+        labelled = {
+            pid: cd for pid, cd in dataset.items() if "coverages" in cd
+        }
+        if len(labelled) < len(dataset):
+            logger.info(
+                "Parcel %s: %d/%d plots pseudo-labelled (batch cap)",
+                parcel_id, len(labelled), len(dataset),
+            )
         out_path = os.path.join(output_folder, parcel_id + ".pkl")
         os.makedirs(output_folder, exist_ok=True)
-        with open(out_path, "wb") as f:
-            pickle.dump(dataset, f)
+        # atomic: a crash mid-dump must not leave a truncated pkl that the
+        # idempotent worklist treats as done
+        tmp_path = out_path + ".tmp"
+        with open(tmp_path, "wb") as f:
+            pickle.dump(labelled, f)
+        os.replace(tmp_path, out_path)
         return out_path
 
     final_tif = os.path.join(output_folder, f"{parcel_id}.tif")

@@ -81,7 +81,10 @@ def cross_validate(
         post_cross_validation_logging(
             "summary", cloud_info_by_fold, cfg, stats_path, sink
         )
-    except (FileNotFoundError, KeyError) as err:
+    except (FileNotFoundError, KeyError, ValueError, TypeError) as err:
+        # a plot missing from (empty coverages -> unpack ValueError) or
+        # duplicated in (TypeError) the uncorrected GT file must skip this
+        # analytics pass, not kill the run after all folds trained
         logger.warning("original-GT summary skipped: %s", err)
     return df_rel
 

@@ -20,16 +20,30 @@ def analyse(results_file: str, out_dir: str) -> dict:
     df = pd.read_csv(results_file)
     if "acc2_veg_b" not in df:
         df = format_cols(df)
-        df = M.calculate_performance_indicators_v1(df)
-        df = M.calculate_performance_indicators_v2(df)
-        df = M.calculate_performance_indicators_v3(df)
+        try:
+            df = M.calculate_performance_indicators_v1(df)
+            df = M.calculate_performance_indicators_v2(df)
+            df = M.calculate_performance_indicators_v3(df)
+        except KeyError:
+            # reference predictions_analysis.py:58-66: continuous (non
+            # class-center) ground truths cannot yield class-based
+            # indicators — continue to the confusion matrices, which snap
+            # continuous GT to the nearest class center
+            print(
+                "Cannot calculate class-based performance indicators due "
+                "to continuous ground truths."
+            )
 
     os.makedirs(out_dir, exist_ok=True)
     for normalize in ("true", "all", "pred"):
         M.log_confusion_matrices(df, os.path.join(out_dir, "confusion"), normalize=normalize)
 
     # signed-error anticorrelation between Vb and Vm
-    # (predictions_analysis.py:74-88)
+    # (predictions_analysis.py:74-88); needs the class-based error2
+    # columns, which continuous GT could not produce above
+    if "error2_veg_b" not in df:
+        print("skipping signed-error / margin studies (no class indicators)")
+        return {"n": len(df)}
     signed_b = df["error2_veg_b"] * 2 * ((df["pred_veg_b"] >= df["vt_veg_b"]) - 0.5)
     signed_m = df["error2_veg_moy"] * 2 * ((df["pred_veg_moy"] >= df["vt_veg_moy"]) - 0.5)
     r, pvalue = stats.pearsonr(signed_b, signed_m)

@@ -24,13 +24,17 @@ import numpy as np
 import pandas as pd
 from scipy.stats import norm
 
-# percent-scale class system (quantification_errors.py:33-46)
-bins_centers = np.array([0, 10, 25, 33, 50, 75, 90, 100])
-bins_borders = np.floor(
-    np.append((bins_centers[:-1] + bins_centers[1:]) / 2, 105) + 0.5
-).astype(int)
-_bb = [0] + bins_borders.tolist()
-center_to_border = {c: b for c, b in zip(bins_centers, zip(_bb[:-1], _bb[1:]))}
+# percent-scale class system (quantification_errors.py:33-46) — derived
+# from the single 0-1-scale definition in learning/metrics.py so the class
+# grid and its half-up border rounding cannot drift between the two
+from stratanet2_tpu.learning import metrics as _M
+
+bins_centers = np.round(_M.bins_centers * 100).astype(int)
+bins_borders = np.round(_M.bins_borders * 100).astype(int)
+center_to_border = {
+    int(c): (int(round(lo * 100)), int(round(hi * 100)))
+    for c, lo, hi in zip(bins_centers, _M.CLASS_LOWER, _M.CLASS_UPPER)
+}
 
 
 def _closest_center_idx(y: float) -> int:
