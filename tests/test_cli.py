@@ -202,3 +202,19 @@ class TestPipeline:
         model_id = os.path.basename(trained.rstrip("/"))
         P.main(args + ["--task", "inference", "--inference_model_id", model_id])
         assert len(calls) == 1
+
+
+class TestLibraryUsageExample:
+    def test_example_runs(self):
+        """examples/library_usage.py is the documented programmatic API
+        tour — keep it executable (shapes, signatures, sharded paths)."""
+        import importlib.util
+        import os
+
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        spec = importlib.util.spec_from_file_location(
+            "library_usage", os.path.join(root, "examples", "library_usage.py")
+        )
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        mod.main()
