@@ -27,12 +27,7 @@ import numpy as np
 
 from stratanet2_tpu.data.transforms import get_normalized_x_y_meshgrid
 from stratanet2_tpu.inference.geotiff import read_geotiff, write_geotiff
-from stratanet2_tpu.inference.polygons import (
-    Polygon,
-    erode_disk,
-    keep_points_outside_shape,
-    sieve,
-)
+from stratanet2_tpu.inference.polygons import Polygon, erode_disk, sieve
 
 logger = logging.getLogger("stratanet2_tpu")
 
@@ -190,11 +185,12 @@ def crop_merged_raster(
     """NaN-out pixels whose center lies outside the parcel shape
     (geotiff_raster.py:238-253)."""
     h, w = mosaic.shape[1:]
-    cols, rows = np.meshgrid(np.arange(w) + 0.5, np.arange(h) + 0.5)
-    xs = geotransform[0] + cols * geotransform[1]
-    ys = geotransform[3] + rows * geotransform[5]
-    pts = np.stack([xs.ravel(), ys.ravel()], axis=1)
-    outside = keep_points_outside_shape(pts, parcel_shape, 0.0).reshape(h, w)
+    xs = geotransform[0] + (np.arange(w) + 0.5) * geotransform[1]
+    ys = geotransform[3] + (np.arange(h) + 0.5) * geotransform[5]
+    # pixel centers form a regular grid: the scanline form computes each
+    # row's ring intersections once (same even-odd result as the pointwise
+    # ray cast; 1e6 px x 1500 verts ~28 s -> ms on one core)
+    outside = ~parcel_shape.contains_grid(xs, ys)
     mosaic = mosaic.copy()
     mosaic[:, outside] = np.nan
     return mosaic

@@ -107,6 +107,23 @@ class TestPolygons:
             P.Polygon([closed]).boundary_distance(pts),
         )
 
+    def test_contains_grid_matches_pointwise(self):
+        """Scanline grid containment must equal the pointwise ray cast,
+        including holes and grid lines crossing vertices."""
+        rng = np.random.default_rng(1)
+        ang = np.sort(rng.uniform(0, 2 * np.pi, 60))
+        ring = np.stack([10 + 8 * np.cos(ang), 10 + 8 * np.sin(ang)], 1)
+        hole = np.stack([10 + 3 * np.cos(ang[::3]), 10 + 3 * np.sin(ang[::3])], 1)
+        poly = P.Polygon([ring, hole])
+        xs = np.linspace(0, 20, 41)
+        ys = np.linspace(0, 20, 37)
+        got = poly.contains_grid(xs, ys)
+        px, py = np.meshgrid(xs, ys)
+        want = poly.contains(np.stack([px.ravel(), py.ravel()], 1)).reshape(
+            got.shape
+        )
+        np.testing.assert_array_equal(got, want)
+
     def test_contains_chunked_matches_unchunked(self):
         """_point_chunks must not change results (memory-bounding only)."""
         rng = np.random.default_rng(0)
