@@ -204,6 +204,51 @@ class TestPipeline:
         assert len(calls) == 1
 
 
+class TestCliErrorPaths:
+    """The verify-recipe probes: clear failures for misuse, idempotent
+    worklist messaging."""
+
+    def test_predict_without_model_id_asserts(self, data_tree, experiments):
+        from stratanet2_tpu.cli.predict import main as predict_main
+
+        with pytest.raises(AssertionError, match="inference_model_id"):
+            predict_main(
+                _common_args(data_tree, experiments) + ["--task", "inference"]
+            )
+
+    def test_predict_rerun_reports_empty_worklist(
+        self, data_tree, experiments, trained, caplog
+    ):
+        import logging
+
+        from stratanet2_tpu.cli.predict import main as predict_main
+
+        model_id = os.path.basename(trained)
+        args = _common_args(data_tree, experiments) + [
+            "--task", "inference", "--inference_model_id", model_id,
+        ]
+        predict_main(args)  # first run may or may not have work left
+        with caplog.at_level(logging.INFO, logger="stratanet2_tpu"):
+            predict_main(args)  # idempotent: nothing left now
+        assert any(
+            "No more prepared parcel" in r.message for r in caplog.records
+        )
+
+    def test_train_with_empty_las_folder_exits(self, data_tree, experiments, tmp_path):
+        from stratanet2_tpu.cli.main import main as train_main
+
+        empty = tmp_path / "empty_las"
+        empty.mkdir()
+        args = _common_args(data_tree, experiments)
+        i = args.index("--las_plots_folder_path")
+        args[i + 1] = str(empty)
+        # don't clobber the module-shared prepared pkl with an empty one
+        j = args.index("--plots_pickled_dataset_path")
+        args[j + 1] = str(tmp_path / "plots.pkl")
+        with pytest.raises(SystemExit, match="No plots found"):
+            train_main(args)
+
+
 class TestLibraryUsageExample:
     def test_example_runs(self):
         """examples/library_usage.py is the documented programmatic API
