@@ -32,8 +32,14 @@ import numpy as np
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 sys.path.insert(0, os.path.dirname(__file__))
 
-N_PLOTS = 110
-POINTS = 12000
+# PROD-scale defaults; env knobs let the ORCHESTRATION (spawn -> poll ->
+# SIGTERM -> resume) be smoke-tested on CPU at tiny scale before burning
+# TPU time (tests/test_schedule_orchestration.py)
+N_PLOTS = int(os.environ.get("STRATANET2_SCHED_PLOTS", 110))
+POINTS = int(os.environ.get("STRATANET2_SCHED_POINTS", 12000))
+_BATCH = int(os.environ.get("STRATANET2_SCHED_BATCH", 0))  # 0 = cfg default
+_SUBSAMPLE = int(os.environ.get("STRATANET2_SCHED_SUBSAMPLE", 0))
+_KILL_AFTER = int(os.environ.get("STRATANET2_SCHED_KILL_AFTER", 0))
 
 
 def build_dataset(root: str) -> str:
@@ -90,6 +96,10 @@ def run_fold(
             device_resident=device_resident,
         ),
     )
+    if _BATCH:
+        cfg = replace(cfg, train=replace(cfg.train, batch_size=_BATCH))
+    if _SUBSAMPLE:
+        cfg = replace(cfg, model=replace(cfg.model, subsample_size=_SUBSAMPLE))
     kde = fit_kde_mixture_from_dataset(dataset)
     ids = np.array(sorted(dataset.keys()))
     # KFold(5)-style split for this fold
@@ -169,7 +179,8 @@ def orchestrate(root: str, n_epoch: int) -> None:
     # inside the VM (CLAUDE.md; it died exactly this way in round 3).
     # Python's default SIGTERM disposition still dies without running
     # atexit/finally cleanup, so the resume path is exercised as a crash.
-    kill_after = max(2 * 10 + 5, n_epoch // 6)  # past >=2 eval/checkpoint epochs
+    # past >=2 eval/checkpoint epochs (env-overridable for tiny smoke runs)
+    kill_after = _KILL_AFTER or max(2 * 10 + 5, n_epoch // 6)
     p = spawn(1)
     got = _wait_for_epoch(
         os.path.join(root, "fold1", "metrics.jsonl"), kill_after, p,
