@@ -146,8 +146,13 @@ def mlp(
 
 
 def dropout(key: Optional[jax.Array], x: jax.Array, rate: float, train: bool) -> jax.Array:
-    if not train or rate <= 0.0 or key is None:
+    if not train or rate <= 0.0:
         return x
+    # a training caller that forgot to thread its rng would otherwise train
+    # with dropout silently OFF — fail loudly instead
+    assert key is not None, (
+        f"dropout(rate={rate}) called with train=True but no rng key"
+    )
     keep = 1.0 - rate
     m = jax.random.bernoulli(key, keep, x.shape)
     return jnp.where(m, x / keep, 0.0)

@@ -127,32 +127,21 @@ def _sa_module(
     # the fused kernel keeps the (K, C1, G) projection table in VMEM; fall
     # back to the XLA path for clouds too large for on-chip residency
     q_bytes = k * (ch1 + 8) * (-(-g // 128) * 128) * 4
-    fused_ok = (
-        (not train)
-        and axis_names is None
+    fused_eligible = (
+        axis_names is None
         and use_pallas
         and bq_method == "grouped"
         and len(p["layers"]) <= 2
         and q_bytes < 8 * 2**20
         and jax.default_backend() == "tpu"
     )
-    if fused_ok:
+    if fused_eligible and not train:
         return (
             _sa_fused(p, s, x, pos, centroids, radius, k),
             centroids,
             s,
         )
-
-    train_fused_ok = (
-        train
-        and axis_names is None
-        and use_pallas
-        and bq_method == "grouped"
-        and len(p["layers"]) <= 2
-        and q_bytes < 8 * 2**20
-        and jax.default_backend() == "tpu"
-    )
-    if train_fused_ok:
+    if fused_eligible and train:
         return _sa_train_fused_path(p, s, x, pos, centroids, radius, k)
 
     if use_pallas and bq_method == "grouped" and jax.default_backend() == "tpu":

@@ -37,7 +37,7 @@ def farthest_point_sampling(
     """Sample `n_samples` indices by farthest-point sampling.
 
     Args:
-      xyz: (..., N, 3) positions. Leading axes are batched.
+      xyz: (N, 3) or (B, N, 3) positions (one optional batch axis).
       n_samples: static number of points to select (= ratio * N).
       start_idx: first selected index (scalar or per-batch array).
       use_pallas: take the Pallas VMEM-resident fast path when on TPU.
@@ -73,10 +73,22 @@ def farthest_point_sampling(
     ):
         npart = n // p
         xp = xyz.reshape(b * p, npart, 3)
-        sp = jnp.repeat(start, p) % npart
+        ks = jnp.arange(b * p, dtype=jnp.int32) % p  # part index per row
+        s_rep = jnp.repeat(start, p)
+        q, r = s_rep // npart, s_rep % npart
+        # the part CONTAINING start_idx starts exactly there; other parts
+        # get decorrelated derived starts (the old `start % npart` for all
+        # parts made every part pick the same residue — correlated starts)
+        sp = jnp.where(ks == q, r, (r + (ks + 1) * 9973) % npart)
         idx = _fps_dispatch(xp, n_samples // p, sp, use_pallas)
-        off = ((jnp.arange(b * p, dtype=jnp.int32) % p) * npart)[:, None]
-        out = (idx + off).reshape(b, n_samples)
+        out = (idx + (ks * npart)[:, None]).reshape(b, n_samples)
+        # keep the documented contract out[..., 0] == start_idx: start sits
+        # at part q's first slot — swap it into slot 0 (identity when q==0)
+        m = n_samples // p
+        pos = (start // npart) * m
+        rows = jnp.arange(b)
+        first = out[rows, 0]
+        out = out.at[rows, 0].set(out[rows, pos]).at[rows, pos].set(first)
     else:
         out = _fps_dispatch(xyz, n_samples, start, use_pallas)
     return out[0] if squeeze else out

@@ -26,6 +26,10 @@ def make_mesh(n_devices: Optional[int] = None, devices: Optional[Sequence] = Non
     if devices is None:
         devices = jax.devices()
         if n_devices is not None:
+            assert n_devices <= len(devices), (
+                f"requested {n_devices}-device mesh, only "
+                f"{len(devices)} devices available"
+            )
             devices = devices[:n_devices]
     return Mesh(np.asarray(devices), (BATCH_AXIS,))
 
@@ -40,10 +44,18 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, tree: Any) -> Any:
-    """Device-put every array in the pytree with axis-0 sharding."""
-    return jax.tree_util.tree_map(
-        lambda x: jax.device_put(x, batch_sharding(mesh, np.ndim(x))), tree
-    )
+    """Device-put every array in the pytree with axis-0 sharding; rank-0
+    and non-array leaves (scalars, strings riding a batch dict) replicate."""
+
+    def _put(x):
+        if np.ndim(x) == 0:
+            return jax.device_put(x, replicated(mesh)) if _is_array(x) else x
+        return jax.device_put(x, batch_sharding(mesh, np.ndim(x)))
+
+    def _is_array(x):
+        return isinstance(x, (jax.Array, np.ndarray, np.generic, int, float, complex, bool))
+
+    return jax.tree_util.tree_map(_put, tree)
 
 
 def replicate(mesh: Mesh, tree: Any) -> Any:

@@ -30,10 +30,19 @@ def initialize(
     num_processes: Optional[int] = None,
     process_id: Optional[int] = None,
 ) -> Tuple[int, int]:
-    """Initialize the multi-host runtime. Arguments default to the standard
-    JAX env vars / TPU metadata discovery. Returns (process_id, n_processes).
+    """Initialize the multi-host runtime. Returns (process_id, n_processes).
 
-    Safe to call on a single host (no-op)."""
+    jax.distributed.initialize runs when any of these hold:
+    - `coordinator_address`/`num_processes` passed explicitly, or
+    - JAX_NUM_PROCESSES env set (the two-process test path), or
+    - STRATANET2_DISTRIBUTED=1 env set — the TPU-pod case, where a BARE
+      jax.distributed.initialize() auto-detects peers via TPU metadata.
+      This one is opt-in because bare auto-detection on a single dev host
+      can hang probing the metadata server; without it a pod launch would
+      silently run every host as its own single process (full batch and
+      full worklist each — duplicated work, no error).
+
+    Safe to call on a single host (no-op without any of the above)."""
     n_env = os.environ.get("JAX_NUM_PROCESSES") or num_processes
     if coordinator_address or n_env:
         jax.distributed.initialize(
@@ -41,6 +50,8 @@ def initialize(
             num_processes=num_processes,
             process_id=process_id,
         )
+    elif os.environ.get("STRATANET2_DISTRIBUTED") == "1":
+        jax.distributed.initialize()  # TPU-pod metadata auto-detection
     pid, n = jax.process_index(), jax.process_count()
     logger.info("multihost: process %d/%d, %d local / %d global devices",
                 pid, n, jax.local_device_count(), jax.device_count())

@@ -75,14 +75,15 @@ def radius_numpy(
 ) -> List[np.ndarray]:
     """Per-centroid in-radius point indices (input order, capped at max_num)
     — torch_cluster.radius semantics (model/point_net2.py:23-25)."""
-    d2 = (
-        np.sum(centroids**2, axis=1)[:, None]
-        - 2.0 * centroids @ pos.T
-        + np.sum(pos**2, axis=1)[None, :]
-    )
+    # exact per-centroid subtraction in f64: the ||c||^2 - 2c.p + ||p||^2
+    # expansion in f32 cancels near the ball boundary and can flip
+    # membership for points within ~1e-5 of r^2 — an oracle must not have
+    # its own numerical ambiguity
+    pos64 = np.asarray(pos, np.float64)
     out = []
-    for row in d2:
-        hits = np.flatnonzero(row <= r * r)
+    for c in np.asarray(centroids, np.float64):
+        d2 = np.sum((pos64 - c) ** 2, axis=1)
+        hits = np.flatnonzero(d2 <= r * r)
         out.append(hits[:max_num])
     return out
 

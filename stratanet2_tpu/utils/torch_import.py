@@ -56,9 +56,9 @@ def params_from_torch_state_dict(
 
     def find(prefixes, block, suffix):
         for pref in prefixes:
-            for key in (f"{pref}.{block}.{suffix}",):
-                if key in sd:
-                    return sd[key]
+            key = f"{pref}.{block}.{suffix}"
+            if key in sd:
+                return sd[key]
         raise KeyError(f"none of {prefixes} has block {block} suffix {suffix}")
 
     for name, prefixes in _MODULE_PREFIXES.items():

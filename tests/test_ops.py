@@ -46,6 +46,28 @@ class TestFPS:
         idx = np.asarray(farthest_point_sampling(jnp.asarray(xyz), 100, use_pallas=False))
         assert len(set(idx.tolist())) == 100
 
+    def test_partitioned_start_contract(self, rng):
+        """parts>1: out[..., 0] must still be start_idx (advisor r3 — the
+        old code started every part at start % npart, so the first output
+        was a different point and part starts were perfectly correlated)."""
+        xyz = rng.normal(size=(2, 2048, 3)).astype(np.float32)
+        starts = jnp.asarray([1500, 37], jnp.int32)
+        out = np.asarray(
+            farthest_point_sampling(
+                jnp.asarray(xyz), 512, start_idx=starts,
+                use_pallas=False, parts=2,
+            )
+        )
+        np.testing.assert_array_equal(out[:, 0], np.asarray(starts))
+        for b in range(2):  # still without replacement across parts
+            assert len(set(out[b].tolist())) == 512
+        # part starts decorrelate: the OTHER part's start (sitting at output
+        # slot m after the slot-0 swap) must not share start_idx's local
+        # residue, which the old `start % npart` for all parts forced
+        npart, m = 1024, 256
+        assert out[0, m] % npart != 1500 % npart
+        assert out[1, m] % npart != 37 % npart
+
     def test_pallas_interpret_matches_lax(self, rng):
         """Index-clobber-tolerant oracle (r3): the kernel's packed cache
         truncates selection distances by ~2^(nbits-24), so near-tied picks

@@ -165,3 +165,33 @@ class TestMesh:
 
         for a, b_ in zip(jax.tree_util.tree_leaves(g_ref), jax.tree_util.tree_leaves(g_dp)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=2e-4, atol=1e-6)
+
+
+class TestShardBatch:
+    def test_mixed_leaf_ranks(self):
+        """shard_batch must tolerate rank-0 and non-array leaves riding a
+        batch dict (advisor r3: P('batch') on a 0-d value crashed)."""
+        import jax
+        import numpy as np
+
+        from stratanet2_tpu.parallel import make_mesh, shard_batch
+
+        mesh = make_mesh(8)
+        tree = {
+            "cloud": np.ones((8, 16, 3), np.float32),
+            "epoch": 3,
+            "name": "plot_a",  # non-array leaf passes through
+        }
+        out = shard_batch(mesh, tree)
+        assert out["name"] == "plot_a"
+        assert int(jax.device_get(out["epoch"])) == 3
+        shardings = out["cloud"].sharding
+        assert shardings.spec[0] == "batch"
+
+    def test_make_mesh_rejects_oversized(self):
+        import pytest
+
+        from stratanet2_tpu.parallel import make_mesh
+
+        with pytest.raises(AssertionError, match="devices available"):
+            make_mesh(1024)
