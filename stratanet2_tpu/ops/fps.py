@@ -74,16 +74,18 @@ def farthest_point_sampling(
         npart = n // p
         xp = xyz.reshape(b * p, npart, 3)
         ks = jnp.arange(b * p, dtype=jnp.int32) % p  # part index per row
-        s_rep = jnp.repeat(start, p)
-        q, r = s_rep // npart, s_rep % npart
-        # the part CONTAINING start_idx starts exactly there; other parts
-        # get decorrelated derived starts (the old `start % npart` for all
-        # parts made every part pick the same residue — correlated starts)
-        sp = jnp.where(ks == q, r, (r + (ks + 1) * 9973) % npart)
+        # every part starts at the SAME local residue — deliberately: with
+        # start 0 (the model's only use) this makes partitioned FPS
+        # bit-equivalent to the point-sharded per-device FPS
+        # (parallel/point_sharded.py, exact-match tests), where each shard
+        # independently starts at local 0. The data layer randomizes point
+        # order, so the shared residue is still a random point per part.
+        sp = jnp.repeat(start, p) % npart
         idx = _fps_dispatch(xp, n_samples // p, sp, use_pallas)
         out = (idx + (ks * npart)[:, None]).reshape(b, n_samples)
-        # keep the documented contract out[..., 0] == start_idx: start sits
-        # at part q's first slot — swap it into slot 0 (identity when q==0)
+        # documented contract out[..., 0] == start_idx: start sits at part
+        # q's first slot — swap it into slot 0 (identity for start < npart,
+        # hence for the model's start=0 path)
         m = n_samples // p
         pos = (start // npart) * m
         rows = jnp.arange(b)

