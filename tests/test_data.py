@@ -33,6 +33,62 @@ class TestLas:
             np.testing.assert_array_equal(getattr(out, name), fields[name])
 
 
+class TestLasLegacyFormats:
+    def _build(self, fmt: int, rng, n=13):
+        """Hand-assemble a minimal LAS 1.2 file of legacy point format
+        `fmt` (2 = core+RGB, 3 = core+GPS+RGB) — the archive formats the
+        reader supports but the (format-8-only) writer cannot produce."""
+        import struct
+
+        gps = 8 if fmt == 3 else 0
+        rec_len = 20 + gps + 6
+        header = bytearray(227)
+        header[0:4] = b"LASF"
+        header[24], header[25] = 1, 2  # version
+        struct.pack_into("<H", header, 94, 227)  # header size
+        struct.pack_into("<I", header, 96, 227)  # offset to points
+        header[104] = fmt
+        struct.pack_into("<H", header, 105, rec_len)
+        struct.pack_into("<I", header, 107, n)
+        struct.pack_into("<3d", header, 131, 0.01, 0.01, 0.01)  # scales
+        struct.pack_into("<3d", header, 155, 100.0, 200.0, 0.0)  # offsets
+        xi = rng.integers(-50000, 50000, n)
+        yi = rng.integers(-50000, 50000, n)
+        zi = rng.integers(0, 3000, n)
+        inten = rng.integers(0, 30000, n)
+        rn, nr = rng.integers(1, 6, n), rng.integers(1, 8, n)
+        rgb = rng.integers(0, 65535, (n, 3))
+        body = bytearray()
+        for i in range(n):
+            body += struct.pack("<iiiH", xi[i], yi[i], zi[i], inten[i])
+            body += bytes([(nr[i] << 3) | rn[i], 0, 0, 0, 0, 0])  # flags..
+            if gps:
+                body += struct.pack("<d", 123.0)
+            body += struct.pack("<3H", *rgb[i])
+        expected = {
+            "x": xi * 0.01 + 100.0, "y": yi * 0.01 + 200.0, "z": zi * 0.01,
+            "intensity": inten, "return_num": rn, "num_returns": nr,
+            "red": rgb[:, 0], "green": rgb[:, 1], "blue": rgb[:, 2],
+        }
+        return bytes(header) + bytes(body), expected
+
+    @pytest.mark.parametrize("fmt", [2, 3])
+    def test_read_legacy_format(self, fmt, tmp_path):
+        rng = np.random.default_rng(fmt)
+        blob, want = self._build(fmt, rng)
+        p = tmp_path / f"legacy{fmt}.las"
+        p.write_bytes(blob)
+        from stratanet2_tpu.data import las
+
+        out = las.read_las(str(p))
+        np.testing.assert_allclose(out.x, want["x"], atol=1e-9)
+        np.testing.assert_allclose(out.y, want["y"], atol=1e-9)
+        np.testing.assert_allclose(out.z, want["z"], atol=1e-9)
+        for name in ("intensity", "return_num", "num_returns", "red", "green", "blue"):
+            np.testing.assert_array_equal(getattr(out, name), want[name])
+        np.testing.assert_array_equal(out.nir, np.zeros(len(out.x)))
+
+
 class TestZNorm:
     def test_matches_bruteforce(self, rng):
         n = 800
