@@ -121,8 +121,10 @@ class TestItemPipeline:
         out = transforms.add_fake_empty_ground_points(cloud, 20, 10)
         # pixel centers with r < 10 in a 20x20 grid: 316 (reference grid math,
         # data_loader/loader.py:90-105)
-        xx, yy = transforms.get_x_y_meshgrid(20)
-        k = int((np.sqrt((xx + 0 * yy) ** 2 + (yy + 0 * xx) ** 2) < 10).sum())
+        # pin the REFERENCE count (316) rather than recomputing it through
+        # the same helper the implementation uses — a grid-math regression
+        # would otherwise shift implementation and expectation in lockstep
+        k = 316
         assert out.shape == (10, 5 + k)
         assert np.all(out[2, 5:] == 0)  # fake z = 0
         assert np.all(out[3:, 5:] == 0)  # zero features

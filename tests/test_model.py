@@ -90,7 +90,6 @@ class TestPointNet2:
         cov1, _, _, g1 = pointnet2_forward(
             model, cloud, xyz, cfg, train=False, return_embeddings=True
         )
-        perm = np.random.default_rng(0).permutation(cloud.shape[1])
         # FPS start point 0 changes under permutation -> only check global
         # feature approximately via a permutation that fixes index 0
         perm = np.concatenate([[0], 1 + np.random.default_rng(0).permutation(cloud.shape[1] - 1)])

@@ -8,6 +8,12 @@ import pytest
 from stratanet2_tpu.data import native, transforms
 
 
+def _timed(fn) -> float:
+    t0 = time.perf_counter()
+    fn()
+    return time.perf_counter() - t0
+
+
 @pytest.fixture(scope="module")
 def built():
     if not native.available():
@@ -43,13 +49,16 @@ class TestNative:
         n = 200_000
         xy = rng.uniform(0, 200, (n, 2))
         z = rng.uniform(0, 25, n)
-        t0 = time.perf_counter()
-        native.min_z_in_radius(xy, z, 1.5)
-        t_native = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        transforms.min_z_in_radius_numpy(xy, z, 1.5)
-        t_numpy = time.perf_counter() - t0
-        # informative bound: the native path must not be slower
+        # best-of-3 each: single-sample wall-clock on the shared one-core
+        # box is a flake source (scheduler stalls, first-call load)
+        t_native = min(
+            _timed(lambda: native.min_z_in_radius(xy, z, 1.5))
+            for _ in range(3)
+        )
+        t_numpy = min(
+            _timed(lambda: transforms.min_z_in_radius_numpy(xy, z, 1.5))
+            for _ in range(3)
+        )
         assert t_native < t_numpy, (t_native, t_numpy)
 
     def test_transforms_dispatch_uses_native(self, built, rng):

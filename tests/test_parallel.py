@@ -20,11 +20,11 @@ class TestMesh:
 
     def test_dryrun_multichip_driver_env(self):
         """Regression for the round-1 driver failure (MULTICHIP_r01.json):
-        dryrun_multichip must succeed in a FRESH interpreter with NO env
-        presets — i.e. with whatever backend the machine's sitecustomize
-        initializes (a 1-device TPU under axon, 1-device CPU in CI). The
-        entry point must bootstrap the virtual mesh itself via subprocess
-        re-exec."""
+        dryrun_multichip must succeed in a FRESH interpreter that starts
+        with a 1-device backend — the entry point must bootstrap the
+        virtual mesh itself via subprocess re-exec. The child is pinned to
+        CPU (and the axon sitecustomize kept off its PYTHONPATH) so the
+        test can never touch the TPU relay under a killable timeout."""
         import os
         import subprocess
         import sys
@@ -36,6 +36,11 @@ class TestMesh:
             if k not in ("JAX_PLATFORMS", "XLA_FLAGS", "PYTHONPATH")
         }
         env["PYTHONPATH"] = repo
+        # belt-and-braces: PYTHONPATH without /root/.axon_site already keeps
+        # the axon sitecustomize (and thus any relay RPC the 600 s timeout
+        # could SIGKILL mid-flight) out of the child; pin CPU explicitly so
+        # a future sitecustomize relocation cannot reintroduce it
+        env["JAX_PLATFORMS"] = "cpu"
         r = subprocess.run(
             [
                 sys.executable,

@@ -203,16 +203,21 @@ class TestCompilationCache:
 
         from stratanet2_tpu.utils.experiment import enable_compilation_cache
 
-        monkeypatch.delenv("STRATANET2_NO_COMPILE_CACHE", raising=False)
-        d = str(tmp_path / "cc")
-        enable_compilation_cache(d)
-        assert jax.config.jax_compilation_cache_dir == d
         import os
 
-        assert os.path.isdir(d)
-        # opt-out leaves the current setting untouched
-        monkeypatch.setenv("STRATANET2_NO_COMPILE_CACHE", "1")
-        enable_compilation_cache(str(tmp_path / "other"))
-        assert jax.config.jax_compilation_cache_dir == d
-        # restore the suite-wide cache dir (conftest)
-        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
+        monkeypatch.delenv("STRATANET2_NO_COMPILE_CACHE", raising=False)
+        prior = jax.config.jax_compilation_cache_dir
+        d = str(tmp_path / "cc")
+        try:
+            enable_compilation_cache(d)
+            assert jax.config.jax_compilation_cache_dir == d
+            assert os.path.isdir(d)
+            # opt-out leaves the current setting untouched
+            monkeypatch.setenv("STRATANET2_NO_COMPILE_CACHE", "1")
+            enable_compilation_cache(str(tmp_path / "other"))
+            assert jax.config.jax_compilation_cache_dir == d
+        finally:
+            # restore the suite-wide cache dir even on failure — a tmp_path
+            # left configured would make the rest of the compile-heavy
+            # suite cache into a throwaway dir
+            jax.config.update("jax_compilation_cache_dir", prior)
