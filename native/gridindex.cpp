@@ -27,6 +27,7 @@ namespace {
 
 struct Grid {
   double x0, y0, inv_cell;
+  double cell;  // stored so rect-pruning uses the SAME size the grid was built with
   int ncx, ncy;
   std::vector<int32_t> cell_start;  // CSR offsets, size ncx*ncy+1
   std::vector<int32_t> order;       // point ids sorted by cell
@@ -41,6 +42,7 @@ struct Grid {
     }
     x0 = xmin;
     y0 = ymin;
+    this->cell = cell;
     inv_cell = 1.0 / cell;
     ncx = std::max(1, (int)std::floor((xmax - xmin) * inv_cell) + 1);
     ncy = std::max(1, (int)std::floor((ymax - ymin) * inv_cell) + 1);
@@ -93,7 +95,7 @@ void minz_in_radius(const double* xy, const double* z, int64_t n,
   if (n == 0) return;
   Grid grid(xy, n, radius);
   const double r2 = radius * radius;
-  const double cell = radius;
+  const double cell = grid.cell;
 
   // Per-cell min z: lets a query (a) skip whole cells that cannot improve
   // its running best and (b) absorb fully-inside cells in O(1). Exactness
@@ -153,7 +155,7 @@ void disk_query_count(const double* xy, int64_t n, const double* centers,
   }
   Grid grid(xy, n, radius);
   const double r2 = radius * radius;
-  const double cell = radius;
+  const double cell = grid.cell;
 #pragma omp parallel for schedule(static)
   for (int64_t q = 0; q < m; ++q) {
     const double xq = centers[2 * q], yq = centers[2 * q + 1];
@@ -190,7 +192,7 @@ void disk_query_fill(const double* xy, int64_t n, const double* centers,
   if (n == 0) return;
   Grid grid(xy, n, radius);
   const double r2 = radius * radius;
-  const double cell = radius;
+  const double cell = grid.cell;
 #pragma omp parallel for schedule(static)
   for (int64_t q = 0; q < m; ++q) {
     const double xq = centers[2 * q], yq = centers[2 * q + 1];

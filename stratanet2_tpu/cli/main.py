@@ -25,6 +25,9 @@ from stratanet2_tpu.utils.experiment import (
 def main(argv=None):
     from stratanet2_tpu.utils.experiment import enable_compilation_cache
 
+    from stratanet2_tpu.utils.backendprobe import honor_platform_env
+
+    honor_platform_env()
     enable_compilation_cache()
     cfg, _ns = parse_config(argv)
     stats_path = setup_experiment_folder(cfg.experiments_path, "learning", cfg.mode)

@@ -36,6 +36,9 @@ from stratanet2_tpu.utils.experiment import (
 def main(argv=None):
     from stratanet2_tpu.utils.experiment import enable_compilation_cache
 
+    from stratanet2_tpu.utils.backendprobe import honor_platform_env
+
+    honor_platform_env()
     enable_compilation_cache()
     cfg, ns = parse_config(argv)
     dev = cfg.mode == "DEV"

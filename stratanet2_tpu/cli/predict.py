@@ -28,6 +28,9 @@ from stratanet2_tpu.utils.worklist import get_unprocessed_files, stem
 def main(argv=None):
     from stratanet2_tpu.utils.experiment import enable_compilation_cache
 
+    from stratanet2_tpu.utils.backendprobe import honor_platform_env
+
+    honor_platform_env()
     enable_compilation_cache()
     parser = argparse.ArgumentParser(description="predict", add_help=False)
     parser.add_argument(

@@ -23,6 +23,9 @@ from stratanet2_tpu.utils.worklist import get_unprocessed_files, stem
 
 
 def main(argv=None):
+    from stratanet2_tpu.utils.backendprobe import honor_platform_env
+
+    honor_platform_env()
     cfg, _ns = parse_config(argv)
     stats_path = setup_experiment_folder(cfg.experiments_path, "prepare", cfg.mode)
     logger = create_logger(stats_path)

@@ -190,7 +190,50 @@ def write_shapefile(path: str, shp: Shapefile) -> None:
     _write_dbf(base + ".dbf", shp.fields, [sr.record for sr in shp.shape_records])
 
 
+def _format_numeric(v, length: int, decimals: int) -> str:
+    """Render a numeric DBF value, shrinking decimals (never the integer
+    part) to fit: silently chopping trailing digits would store a DIFFERENT
+    number (123456789 in a 5-wide field read back as 12345)."""
+    if v is None:
+        return ""
+    if decimals:
+        s = f"{float(v):.{decimals}f}"
+        dec = decimals
+        while len(s) > length and dec > 0:
+            dec -= 1
+            s = f"{float(v):.{dec}f}".rstrip(".")
+        return s
+    return str(int(v))
+
+
 def _write_dbf(path: str, fields: List[FieldSpec], records: List[Dict[str, object]]):
+    # Auto-widen numeric fields whose integer part exceeds the declared
+    # width: this writer also declares the widths, and a DBF write happens
+    # at the very END of a full parcel-inference run — raising here on one
+    # boundary value would discard hours of completed work. Widths are a
+    # single byte in the DBF header, so 255 is the hard cap (beyond it the
+    # value genuinely cannot be represented and we do raise).
+    fields = list(fields)
+    for i, fs in enumerate(fields):
+        if fs.ftype not in ("N", "F"):
+            continue
+        need = max(
+            (len(_format_numeric(r.get(fs.name), fs.length, fs.decimals)) for r in records),
+            default=0,
+        )
+        if need > fs.length:
+            if need > 255:
+                raise ValueError(
+                    f"DBF field {fs.name} needs width {need} > 255 (value too wide)"
+                )
+            import logging
+
+            logging.getLogger("stratanet2_tpu").warning(
+                "DBF field %s auto-widened %d -> %d to fit out-of-range value",
+                fs.name, fs.length, need,
+            )
+            fields[i] = FieldSpec(fs.name, fs.ftype, need, fs.decimals)
+
     header_size = 32 + 32 * len(fields) + 1
     record_size = 1 + sum(f.length for f in fields)
     with open(path, "wb") as f:
@@ -209,21 +252,8 @@ def _write_dbf(path: str, fields: List[FieldSpec], records: List[Dict[str, objec
             for fs in fields:
                 v = rec.get(fs.name)
                 if fs.ftype in ("N", "F"):
-                    if v is None:
-                        s = ""
-                    elif fs.decimals:
-                        s = f"{float(v):.{fs.decimals}f}"
-                        # shrink decimals before the integer part: silently
-                        # chopping trailing digits would store a DIFFERENT
-                        # number (123456789 in a 5-wide field read back as
-                        # 12345)
-                        dec = fs.decimals
-                        while len(s) > fs.length and dec > 0:
-                            dec -= 1
-                            s = f"{float(v):.{dec}f}".rstrip(".")
-                    else:
-                        s = str(int(v))
-                    if len(s) > fs.length:
+                    s = _format_numeric(v, fs.length, fs.decimals)
+                    if len(s) > fs.length:  # unreachable after auto-widen
                         raise ValueError(
                             f"value {v!r} does not fit DBF field "
                             f"{fs.name} ({fs.ftype}, width {fs.length})"

@@ -591,15 +591,6 @@ def train_full(
         if (current_epoch % cfg.train.n_epoch_test == 0) or (
             current_epoch > cfg.train.epoch_to_start_early_stop
         ):
-            ckpt.save_checkpoint(
-                resume_path, ts.params, ts.model_state, ts.opt_state,
-                metadata={
-                    "epoch": current_epoch,
-                    "step": int(jax.device_get(ts.step)),
-                    "fold_id": fold_id,
-                    "stopper": stopper.state_dict(),
-                },
-            )
             with sink.context(f"fold_{fold_id}_val"):
                 test_losses, _ = evaluate(
                     PointNet2Params(ts.params, ts.model_state),
@@ -613,6 +604,7 @@ def train_full(
                 sink.log_metrics(test_losses, epoch=current_epoch, step=test_losses["step"])
                 all_test_losses.append(test_losses)
 
+                stop = False
                 if cfg.train.use_early_stopping:
                     stop, improved = stopper.should_stop(
                         test_losses["total_loss"], current_epoch
@@ -626,9 +618,27 @@ def train_full(
                                 "fold_id": fold_id,
                             },
                         )
-                    if stop:
-                        logger.info("Early stopping at epoch %d", current_epoch)
-                        break
+                # Saved AFTER this epoch's eval + should_stop so the
+                # persisted early-stopping state is never one eval stale: a
+                # crash after an improved eval must not let a resumed run
+                # restore the pre-improvement best_metric_value and later
+                # overwrite the (already improved) best checkpoint with
+                # worse weights. eval does not mutate ts, so the weights
+                # saved here are identical either way; a crash *during*
+                # eval resumes from the previous eval epoch's snapshot and
+                # retrains one epoch.
+                ckpt.save_checkpoint(
+                    resume_path, ts.params, ts.model_state, ts.opt_state,
+                    metadata={
+                        "epoch": current_epoch,
+                        "step": int(jax.device_get(ts.step)),
+                        "fold_id": fold_id,
+                        "stopper": stopper.state_dict(),
+                    },
+                )
+                if stop:
+                    logger.info("Early stopping at epoch %d", current_epoch)
+                    break
 
     # Final eval with best/last weights (learning/train.py:154-176).
     if cfg.train.use_early_stopping and os.path.exists(ckpt_path):

@@ -58,11 +58,20 @@ def initialize(
     return pid, n
 
 
-def host_batch_slice(global_batch: int) -> slice:
+def host_batch_slice(
+    global_batch: int,
+    process_id: Optional[int] = None,
+    n_processes: Optional[int] = None,
+) -> slice:
     """The slice of the global batch this host must feed (contiguous
-    striping; combine with PlotLoader over the host's plot subset)."""
-    n = jax.process_count()
+    striping; combine with PlotLoader over the host's plot subset).
+
+    `process_id`/`n_processes` default to the live runtime values; passing
+    them explicitly makes the arithmetic testable without spawning hosts
+    (the dryrun exercises n_hosts in {2, 4, 8} this way)."""
+    n = jax.process_count() if n_processes is None else n_processes
     assert global_batch % n == 0, f"global batch {global_batch} % hosts {n} != 0"
     per = global_batch // n
-    pid = jax.process_index()
+    pid = jax.process_index() if process_id is None else process_id
+    assert 0 <= pid < n, f"process_id {pid} out of range for {n} hosts"
     return slice(pid * per, (pid + 1) * per)

@@ -1,0 +1,145 @@
+"""Driver-contract hardening tests (VERDICT r3 item 1).
+
+Round 3 lost both driver artifacts to an unbounded in-process backend query:
+BENCH_r03 rc=1 with no JSON line, MULTICHIP_r03 rc=124 (hang). These tests
+simulate a dead/wedged axon relay and assert the contract surfaces fail
+fast and legibly instead.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+from stratanet2_tpu.utils import backendprobe as bp
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _clean_env(**extra):
+    env = os.environ.copy()
+    env.pop("JAX_PLATFORMS", None)
+    env["XLA_FLAGS"] = ""
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    env.update(extra)
+    return env
+
+
+def test_probe_in_initialized_process():
+    # conftest initialized the 8-virtual-device CPU backend already.
+    res = bp.probe_backend(timeout_s=5.0)
+    assert res.ok and res.platform == "cpu" and res.n_devices == 8
+
+
+def test_resolved_platform_prefers_config_over_env(monkeypatch):
+    # conftest did jax.config.update('jax_platforms', 'cpu'); env may say axon
+    monkeypatch.setenv("JAX_PLATFORMS", "axon")
+    assert bp.resolved_platform() == "cpu"
+
+
+def test_port_closed_fast_fail(monkeypatch):
+    """Axon platform + relay port refusing -> fail in ~1s with no subprocess."""
+    monkeypatch.setattr(bp, "backend_already_initialized", lambda: False)
+    monkeypatch.setattr(bp, "resolved_platform", lambda: "axon")
+    monkeypatch.setattr(bp, "relay_port_open", lambda timeout=1.0: False)
+
+    def _no_subprocess(timeout_s):
+        raise AssertionError("must not spawn a probe when port is closed")
+
+    monkeypatch.setattr(bp, "_subprocess_probe", _no_subprocess)
+    res = bp.probe_backend(timeout_s=60.0)
+    assert not res.ok and "relay" in res.error
+
+
+def test_subprocess_probe_timeout(monkeypatch):
+    """A hung device query is killed by PID at the bound (never pattern)."""
+    monkeypatch.setattr(
+        bp, "_PROBE_CODE", "import time; time.sleep(60)"
+    )
+    res = bp._subprocess_probe(timeout_s=1.0)
+    assert not res.ok and "hung" in res.error
+
+
+def test_subprocess_probe_crash(monkeypatch):
+    monkeypatch.setattr(
+        bp,
+        "_PROBE_CODE",
+        "raise RuntimeError('UNAVAILABLE: TPU backend setup/compile error')",
+    )
+    res = bp._subprocess_probe(timeout_s=30.0)
+    assert not res.ok and "rc=1" in res.error
+
+
+def test_subprocess_probe_happy_cpu():
+    env = _clean_env(JAX_PLATFORMS="cpu")
+    r = subprocess.run(
+        [
+            sys.executable,
+            "-c",
+            "import jax; jax.config.update('jax_platforms','cpu');"
+            "from stratanet2_tpu.utils.backendprobe import _subprocess_probe;"
+            "import json; res=_subprocess_probe(120.0);"
+            "print(json.dumps(res.__dict__))",
+        ],
+        capture_output=True,
+        text=True,
+        env=env,
+        cwd=REPO,
+        timeout=180,
+    )
+    assert r.returncode == 0, r.stderr
+    info = json.loads(r.stdout.strip().splitlines()[-1])
+    assert info["ok"] and info["platform"] == "cpu"
+
+
+def test_bench_fails_fast_with_one_json_line_on_dead_backend():
+    """bench.py on a dead axon backend: rc!=0 but stdout is EXACTLY one
+    parseable JSON line carrying an `error` field (driver `parsed` non-null).
+
+    Simulated by pointing the probe at the axon platform with the relay
+    port closed (monkeypatched through env is impossible, so run bench.py
+    with JAX_PLATFORMS=axon in an env where the relay is absent — if a real
+    relay IS listening, the bench would instead run for real, so guard)."""
+    if bp.relay_port_open():
+        pytest.skip("live relay present; dead-backend simulation impossible")
+    env = _clean_env(JAX_PLATFORMS="axon")
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        capture_output=True,
+        text=True,
+        env=env,
+        cwd=REPO,
+        timeout=180,
+    )
+    assert r.returncode == 1, (r.returncode, r.stdout, r.stderr)
+    lines = [l for l in r.stdout.strip().splitlines() if l.strip()]
+    assert len(lines) == 1, r.stdout
+    doc = json.loads(lines[0])
+    assert doc["metric"] == "pointnet2_inference_points_per_sec_per_chip"
+    assert doc["value"] == 0.0 and doc["vs_baseline"] == 0.0
+    assert "unavailable" in doc["error"]
+
+
+def test_dryrun_multichip_never_queries_axon_inprocess():
+    """dryrun_multichip with the axon platform resolved and no initialized
+    backend must go straight to the forced-CPU subprocess (no hang). Run it
+    at n=2 so the subprocess stays fast."""
+    if bp.relay_port_open():
+        pytest.skip("live relay present; hang simulation not meaningful")
+    env = _clean_env(JAX_PLATFORMS="axon", DRYRUN_DEVICES="2")
+    code = (
+        "import __graft_entry__ as g; g.dryrun_multichip(2); print('DONE')"
+    )
+    r = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True,
+        text=True,
+        env=env,
+        cwd=REPO,
+        timeout=560,
+    )
+    assert r.returncode == 0, (r.stdout, r.stderr)
+    assert "dryrun_multichip OK" in r.stdout and "DONE" in r.stdout
+    assert "host-slice" in r.stdout

@@ -207,12 +207,24 @@ class TestIOEdgeCases:
         S.write_shapefile(p, shp)
         out = S.read_shapefile(p)
         assert abs(out.shape_records[0].record["V"] - 12.346) < 1e-9
-        bad = S.Shapefile(
+        # an oversized integer part auto-widens the field (the write happens
+        # at the END of a parcel run — one boundary value must not void it)
+        # and the value round-trips exactly
+        wide = S.Shapefile(
             fields=[S.FieldSpec("V", "N", 5, 0)],
             shape_records=[S.ShapeRecord(square(0, 0, 1), {"V": 123456789})],
         )
-        with pytest.raises(ValueError, match="does not fit"):
-            S.write_shapefile(str(tmp_path / "b.shp"), bad)
+        S.write_shapefile(str(tmp_path / "b.shp"), wide)
+        out = S.read_shapefile(str(tmp_path / "b.shp"))
+        assert out.shape_records[0].record["V"] == 123456789
+        assert out.fields[0].length >= 9
+        # beyond the 1-byte DBF width cap the value is unrepresentable
+        huge = S.Shapefile(
+            fields=[S.FieldSpec("V", "N", 5, 0)],
+            shape_records=[S.ShapeRecord(square(0, 0, 1), {"V": 10**300})],
+        )
+        with pytest.raises(ValueError, match="255"):
+            S.write_shapefile(str(tmp_path / "h.shp"), huge)
 
     def test_las_rejects_laz(self, tmp_path):
         from stratanet2_tpu.data.las import read_las, write_las

@@ -181,6 +181,12 @@ class TestResume:
         pre_best = load_checkpoint(str(tmp_path / "PCC_model_fold_n=1.pt"))[
             "metadata"
         ]
+        # the resume checkpoint is saved AFTER the epoch's eval/should_stop,
+        # so its stopper state is never one eval stale: it must agree with
+        # the best checkpoint's metadata exactly (a stale stopper would let
+        # a resumed run overwrite an improved best model with worse weights)
+        assert stopper_state["best_metric_value"] == pre_best["best_metric_value"]
+        assert stopper_state["best_metric_epoch"] == pre_best["best_metric_epoch"]
         # extend schedule and resume: only epochs 3..4 run
         cfg4 = replace(cfg, train=replace(cfg.train, n_epoch=4))
         _, train_losses, _, _ = train_full(
