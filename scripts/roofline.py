@@ -1,0 +1,164 @@
+"""Analytic roofline for the PROD train step's hot ops (VERDICT r4 item 2).
+
+Models each top op from scripts/trace_step.py against v5e hardware limits
+and names its bound. The workload is a 15k-parameter point network at
+B=20 x N=10000 — nothing here is near classical MXU-peak or HBM-peak;
+the binding constraints are (a) the PADDED systolic cost of the one-hot
+selection/gather dots the TPU formulation substitutes for serialized
+scatters/gathers, (b) VPU min/argmin sweeps over distance tiles, and
+(c) serial-dependency latency (FPS). This script quantifies (a) and (b)
+per op so "is it fast?" is answered against a named ceiling, not intuition.
+
+v5e peaks (public: cloud.google.com/tpu/docs/v5e, jax-ml scaling book):
+  MXU   1.97e14 bf16 FLOP/s  == 6.01e9 output-rows/s of 128x128 tiles
+  HBM   8.19e11 B/s (16 GB HBM2)
+  VPU   ~3.9e12 f32 FLOP/s (8x128 lanes, 4 subunits, ~0.94 GHz, FMA=2)
+
+MXU cost model ("row streaming"): a dot with output (M, N) contracting K
+costs ceil(K/128) * ceil(N/128) * M rows; the array retires one output row
+per cycle per loaded 128x128 weight tile. This charges K=9 distance dots
+and M=74 gather dots their real padding (the useful-FLOP fraction of a
+one-hot gather dot is ~1/S — the dot exists to avoid the serialized
+scatter path, so its ceiling is the padded cost, not useful FLOPs).
+
+Measured ms are the round-3 step-trace values (scripts/trace_step.py on
+the live v5e, RESULTS.md); re-run trace_step.py to refresh when the chip
+is reachable.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+MXU_ROWS_PER_S = 1.97e14 / (2 * 128 * 128)  # 6.01e9
+HBM_BYTES_PER_S = 8.19e11
+VPU_FLOPS = 3.9e12
+
+
+def cdiv(a, b):
+    return -(-a // b)
+
+
+def mxu_ms(m, n, k, calls=1):
+    """Row-streaming cost of `calls` dots with output (m, n), contraction k."""
+    rows = cdiv(k, 128) * cdiv(n, 128) * m * calls
+    return rows / MXU_ROWS_PER_S * 1e3
+
+
+def vpu_ms(elem_ops):
+    return elem_ops / VPU_FLOPS * 1e3
+
+
+def hbm_ms(nbytes):
+    return nbytes / HBM_BYTES_PER_S * 1e3
+
+
+@dataclass
+class Geometry:
+    B: int = 20
+    N: int = 10_000
+    C1: int = 2_500
+    C2: int = 625
+    k1: int = 32
+    k2: int = 64
+    KNN = 3
+    F_FP1: int = 34  # fp2 output channels interpolated in FP1
+    F_FP2: int = 64  # fp3 output channels interpolated in FP2
+    C1CH: int = 16  # SA1 mlp width
+    C2CH: int = 32  # SA2 mlp width
+
+
+def knn_call(g: Geometry, T, S, F, tc):
+    """knn_fwd pallas_call: per (batch, chunk): one (S, tc) distance dot
+    (K=9) + KNN one-hot gather dots of (2F+6, tc) contracting S, plus KNN
+    argmin+mask VPU sweeps over the (S, tc) tile."""
+    chunks = g.B * cdiv(T, tc)
+    dist = mxu_ms(S, tc, 9, calls=chunks)
+    gather = mxu_ms(2 * F + 6, tc, S, calls=chunks * g.KNN)
+    # per k-pass: argmin reduce + where-mask over (S, tc) ~ 4 elem-ops each
+    vpu = vpu_ms(4 * S * tc * chunks * g.KNN)
+    io = hbm_ms(4 * g.B * (S * (F + 3) + T * 3 + T * F + 2 * g.KNN * T))
+    return dist + gather, vpu, io
+
+
+def selection_call(g: Geometry, C, N, k, extra_gather_rows, cc=512):
+    """ball_query / fused-SA shape: per centroid-chunk, k group passes each
+    with a (G, cc) distance dot (K=9, G=N/k), packed-min VPU sweep, and
+    (for SA) a one-hot q-gather dot of (extra_gather_rows, cc) contracting
+    G."""
+    G = cdiv(N, k)
+    chunks = g.B * cdiv(C, cc)
+    dist = mxu_ms(G, cc, 9, calls=chunks * k)
+    gather = (
+        mxu_ms(extra_gather_rows, cc, G, calls=chunks * k)
+        if extra_gather_rows
+        else 0.0
+    )
+    vpu = vpu_ms(6 * G * cc * chunks * k)  # d2 assemble + packed min + merges
+    return dist + gather, vpu
+
+
+def main():
+    g = Geometry()
+    rows = []
+
+    # knn_fwd: FP1 (T=N, S=C1, F=34, tc=512) + FP2 (T=C1, S=C2, F=64, tc=1024)
+    m1, v1, io1 = knn_call(g, g.N, g.C1, g.F_FP1, 512)
+    m2, v2, io2 = knn_call(g, g.C1, g.C2, g.F_FP2, 1024)
+    rows.append(("knn_fwd", m1 + m2, v1 + v2, io1 + io2, 3.66,
+                 "MXU one-hot gather dots (padded M=2F+6->128, K=S)"))
+
+    # ball_query: bq1 (C1 cents, N pts, k1 groups) + bq2 (C2, C1, k2)
+    bm1, bv1 = selection_call(g, g.C1, g.N, g.k1, 0)
+    bm2, bv2 = selection_call(g, g.C2, g.C1, g.k2, 0)
+    rows.append(("ball_query (bq1+bq2)", bm1 + bm2, bv1 + bv2, 0.1, 1.96,
+                 "VPU packed-min over (G, cc) tiles + K=9 distance dots"))
+
+    # sa_train_main: SA1 distances + q one-hot gather (2*C1CH rows)
+    sm, sv = selection_call(g, g.C1, g.N, g.k1, 2 * g.C1CH)
+    rows.append(("sa_train_main (SA1)", sm, sv, 0.15, 1.28,
+                 "same selection shape + q gather dot"))
+
+    # fps: serial-dependency bound, not throughput
+    fps_iters = g.C1 // 2  # fps_parts=2
+    rows.append(("fps (parts=2)", 0.0, 0.0, 0.0, 1.95,
+                 f"SERIAL: {fps_iters} dependent iterations -> "
+                 f"{1.95e3 / fps_iters:.2f} us/iter loop latency"))
+
+    print(f"{'op':26s} {'MXU ms':>7s} {'VPU ms':>7s} {'HBM ms':>7s} "
+          f"{'max-bnd':>8s} {'sum-bnd':>8s} {'meas r3':>8s} {'of-sum':>6s}  bound")
+    tot_bound = tot_meas = 0.0
+    for name, m, v, io, meas, note in rows:
+        # MXU and VPU work within one kernel can only partially overlap:
+        # max() is the full-overlap (optimistic) bound, sum() the no-overlap
+        # (pessimistic) one. An op AT its sum-bound has no headroom without
+        # restructuring; one far above both is overhead-bound.
+        bmax, bsum = max(m, v, io), m + v + io
+        eff = bsum / meas if meas else 0.0
+        tot_meas += meas
+        tot_bound += bsum
+        print(f"{name:26s} {m:7.2f} {v:7.2f} {io:7.2f} {bmax:8.2f} "
+              f"{bsum:8.2f} {meas:8.2f} {eff:5.0%}  {note}")
+    print(f"\ntop-op no-overlap bound total {tot_bound:.2f} ms vs measured "
+          f"{tot_meas:.2f} ms (r3 device step total 16.8 ms)")
+
+    # Useful-FLOP MFU for the whole step, for perspective: the model's
+    # actual math (MLPs over points + selection epilogues).
+    mlp_flops = 2 * g.B * (
+        g.N * (11 * 16 + 16 * 16)          # SA1 shared MLP (q)
+        + g.C1 * (19 * 32)                 # SA2 mlp
+        + g.C2 * (35 * 64)                 # SA3 mlp
+        + g.C2 * (96 * 64)                 # FP3
+        + g.C1 * (80 * 34)                 # FP2
+        + g.N * (42 * 34)                  # FP1
+        + g.N * (34 * 32 + 32 * 5)         # head lin1/lin2 (approx widths)
+    ) * 3  # fwd + ~2x bwd
+    print(f"useful model FLOPs/step ~{mlp_flops/1e9:.2f} GFLOP; at 16.8 ms "
+          f"device MFU = {mlp_flops/16.8e-3/1.97e14:.2%} of bf16 peak — the "
+          "workload is selection-bound, not matmul-bound; the honest "
+          "ceiling is the padded-selection table above")
+
+
+if __name__ == "__main__":
+    main()
