@@ -141,21 +141,22 @@ def bench_all():
     t0 = time.perf_counter()
     plots = extract_plots_from_parcel(cfg, parcel, centers)
     t_prep = time.perf_counter() - t0
-    from stratanet2_tpu.inference.predict import make_predict_step
+    from stratanet2_tpu.inference.predict import make_predict_program
 
-    predict_step = make_predict_step(cfg)
+    chain = max(1, cfg.data.predict_chain)
+    predict_program = make_predict_program(cfg)
     # warm up the compiled executable so the wall-clock measures steady state
     bwarm = cfg.train.batch_size
-    predict_step(
+    predict_program(
         model,
-        jnp.zeros((bwarm, mcfg.subsample_size, 10), jnp.float32),
-        jnp.zeros((bwarm, mcfg.subsample_size, 3), jnp.float32),
+        jnp.zeros((chain, bwarm, mcfg.subsample_size, 10), jnp.float32),
+        jnp.zeros((chain, bwarm, mcfg.subsample_size, 3), jnp.float32),
     )
     with tempfile.TemporaryDirectory() as td:
         t0 = time.perf_counter()
         predict_parcel(
             model, plots, cfg, "BENCH", td, task="inference",
-            parcel_shape=shape, predict_step=predict_step,
+            parcel_shape=shape, predict_program=predict_program,
         )
         t_pred = time.perf_counter() - t0
     results.append(

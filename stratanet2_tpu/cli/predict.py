@@ -85,13 +85,21 @@ def main(argv=None):
             logger.info("Using %d-device POINT-sharded inference mesh", n_dev)
         except ValueError as e:
             logger.warning("point sharding unavailable (%s); falling back", e)
+    predict_program = None
     if predict_step is None:
         if n_dev > 1 and cfg.train.batch_size % n_dev == 0:
             from stratanet2_tpu.parallel import make_mesh
 
             mesh = make_mesh()
             logger.info("Using %d-device data-parallel inference mesh", n_dev)
-        predict_step = make_predict_step(cfg, mesh=mesh)
+        if cfg.data.predict_chain > 1:
+            # chained one-program predict (fixed ~33 ms relay cost per
+            # program call amortizes over predict_chain batches)
+            from stratanet2_tpu.inference.predict import make_predict_program
+
+            predict_program = make_predict_program(cfg, mesh=mesh)
+        else:
+            predict_step = make_predict_step(cfg, mesh=mesh)
     max_batches = 10 if cfg.mode == "DEV" else None
 
     # Parcels whose prediction wrote NO output this run (e.g. every plot
@@ -118,7 +126,8 @@ def main(argv=None):
         predict_parcel(
             model, dataset, cfg, parcel_id, output_folder,
             task=ns_local.task, parcel_shape=parcel_shape,
-            predict_step=predict_step, max_batches=max_batches,
+            predict_step=predict_step, predict_program=predict_program,
+            max_batches=max_batches,
         )
         if cfg.mode == "DEV":
             break

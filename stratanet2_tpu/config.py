@@ -140,6 +140,13 @@ class DataConfig:
     # speedup (RESULTS.md); "true"/"false" force it.
     device_resident: str = "auto"
     device_resident_max_bytes: int = 2_000_000_000
+    # Parcel predict chains this many batches into ONE jitted program
+    # (lax.scan over a stacked (chain, B, N, F) tile stack): through the
+    # axon relay every separate program call pays a fixed ~33 ms, so
+    # per-batch dispatch caps a parcel at ~30 calls/s regardless of device
+    # speed. The tail chunk is padded with all-invalid batches to keep a
+    # single compiled program shape. 1 disables chaining (per-batch path).
+    predict_chain: int = 8
 
 
 @dataclass(frozen=True)
@@ -221,6 +228,7 @@ def _add_flags(p: argparse.ArgumentParser) -> None:
         choices=["auto", "true", "false"],
         default=None,
     )
+    p.add_argument("--predict_chain", type=int, default=None)
     # namespace-only (consumed by cli/main): shard the POINT axis across
     # devices for training — the context-parallel analogue for dense clouds
     # (parallel/point_sharded.make_point_sharded_train_step)
@@ -260,7 +268,7 @@ def parse_config(argv: Optional[list] = None) -> Tuple[Config, argparse.Namespac
                 "data_path", "las_plots_folder_path", "gt_file_path",
                 "corrected_gt_file_path", "las_parcels_folder_path",
                 "parcel_shapefile_path", "plots_pickled_dataset_path",
-                "transfer_dtype", "device_resident",
+                "transfer_dtype", "device_resident", "predict_chain",
             ],
         ),
     )

@@ -142,6 +142,90 @@ def make_predict_step(cfg: Config, mesh=None):
     return sharded_step
 
 
+def make_predict_program(cfg: Config, mesh=None):
+    """ONE-program chained predict: lax.scan the per-batch forward +
+    projection over a stacked (chain, B, N, F) tile stack, so a whole group
+    of batches costs one program call (VERDICT r3 item 4: through the axon
+    relay each separate call pays a fixed ~33 ms — per-batch dispatch caps
+    parcel throughput at ~30 batches/s regardless of device speed, like the
+    reference's per-plot loop, predict.py:96-129, was host-capped).
+
+    Returns program(model, clouds (S,B,N,F), xyzs (S,B,N,3)) ->
+    (rasters (S,B,C+1,P,P), preds (S,B,4)). With a mesh, axis 1 (the
+    per-step batch) is sharded over devices and the scan carries sharded
+    operands (GSPMD inserts no collectives: plots are i.i.d.)."""
+    mcfg = cfg.model
+
+    @jax.jit
+    def program(model: PointNet2Params, clouds, xyzs):
+        clouds = clouds.astype(jnp.float32)
+        xyzs = xyzs.astype(jnp.float32)
+
+        def body(carry, batch):
+            cloud, xyz = batch
+            cov, _proba, _ = pointnet2_forward(
+                model, cloud[..., 2:], xyz, mcfg, train=False
+            )
+            rasters = batched_raster_projection(
+                cloud[..., :2], cov, mcfg.diam_pix, mcfg.diam_meters
+            )
+            pred_pl = plotwise_coverages(cov, cloud[..., :2], mcfg.diam_pix)
+            return carry, (rasters, pred_pl)
+
+        _, outs = jax.lax.scan(body, 0, (clouds, xyzs))
+        return outs
+
+    if mesh is None:
+        return program
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from stratanet2_tpu.parallel import replicate
+    from stratanet2_tpu.parallel.mesh import BATCH_AXIS
+
+    inner_batch = NamedSharding(mesh, P(None, BATCH_AXIS))
+    rep_cache = {}
+
+    def sharded_program(model, clouds, xyzs):
+        leaves = jax.tree_util.tree_leaves(model)
+        key = tuple(id(l) for l in leaves)
+        if key not in rep_cache:
+            rep_cache.clear()
+            rep_cache[key] = (leaves, replicate(mesh, model))
+        model_r = rep_cache[key][1]
+        clouds = jax.device_put(clouds, inner_batch)
+        xyzs = jax.device_put(xyzs, inner_batch)
+        return program(model_r, clouds, xyzs)
+
+    return sharded_program
+
+
+def _chain_batches(loader, chain: int, max_batches: Optional[int]):
+    """Group loader batches into fixed-size chains, padding the tail group
+    with all-invalid zero batches so every program call has one shape."""
+    group = []
+    n_seen = 0
+    for batch in loader:
+        group.append(batch)
+        n_seen += 1
+        if len(group) == chain:
+            yield group
+            group = []
+        if max_batches is not None and n_seen >= max_batches:
+            break
+    if group:
+        proto = group[0]
+        pad = {
+            "cloud": np.zeros_like(proto["cloud"]),
+            "xyz": np.zeros_like(proto["xyz"]),
+            "valid": np.zeros_like(proto["valid"]),
+            "plot_id": proto["plot_id"],
+            "plot_center": proto["plot_center"],
+        }
+        group = group + [pad] * (chain - len(group))
+        yield group
+
+
 def predict_parcel(
     model: PointNet2Params,
     dataset: Dict,
@@ -151,6 +235,7 @@ def predict_parcel(
     task: str = "inference",
     parcel_shape: Optional[Polygon] = None,
     predict_step=None,
+    predict_program=None,
     max_batches: Optional[int] = None,
 ) -> Optional[str]:
     """Run one parcel. Returns the final tif path for inference, or the
@@ -160,7 +245,9 @@ def predict_parcel(
     if not dataset:
         logger.warning("Parcel %s: no plots to predict", parcel_id)
         return None
-    step = predict_step or make_predict_step(cfg)
+    chain = max(1, int(cfg.data.predict_chain))
+    if predict_step is None and predict_program is None and chain > 1:
+        predict_program = make_predict_program(cfg)
     loader = PlotLoader(dataset, cfg, train=False)
 
     tiff_folder = os.path.join(output_folder, parcel_id)
@@ -175,34 +262,53 @@ def predict_parcel(
     # Arrays pass to `step` as-is: jit commits them in one transfer, and the
     # mesh path's device_put shard-places them directly (a jnp.asarray here
     # would first commit to the default device, then reshard).
-    pending = []
-    for i, batch in enumerate(loader):
-        rasters, pred_pl = step(model, batch["cloud"], batch["xyz"])
-        meta = {
-            k: batch[k] for k in ("valid", "plot_id", "plot_center")
-        }
-        pending.append((meta, rasters, pred_pl))
-        if max_batches is not None and i + 1 >= max_batches:
-            break
+    pending = []  # (metas: List[meta], rasters (S,B,C,P,P), preds (S,B,4))
+    if predict_program is not None:
+        # ONE program call per `chain` batches (see make_predict_program):
+        # stacked on host, scanned on device; fixed shape via tail padding.
+        for group in _chain_batches(loader, chain, max_batches):
+            clouds = np.stack([b["cloud"] for b in group])
+            xyzs = np.stack([b["xyz"] for b in group])
+            rasters_s, preds_s = predict_program(model, clouds, xyzs)
+            metas = [
+                {k: b[k] for k in ("valid", "plot_id", "plot_center")}
+                for b in group
+            ]
+            pending.append((metas, rasters_s, preds_s))
+    else:
+        step = predict_step or make_predict_step(cfg)
+        for i, batch in enumerate(loader):
+            rasters, pred_pl = step(model, batch["cloud"], batch["xyz"])
+            meta = {
+                k: batch[k] for k in ("valid", "plot_id", "plot_center")
+            }
+            pending.append(([meta], rasters, pred_pl))
+            if max_batches is not None and i + 1 >= max_batches:
+                break
 
-    for batch, rasters, pred_pl in pending:
-        rasters = np.asarray(rasters)
-        pred_pl = np.asarray(pred_pl)
-        for j in np.where(batch["valid"])[0]:
-            plot_id = batch["plot_id"][j]
-            if is_pseudo:
-                dataset[plot_id]["coverages"] = pred_pl[j]
-            else:
-                with_weights = add_weights_band_to_rasters(
-                    rasters[j], cfg.model.diam_pix
-                )
-                write_geotiff(
-                    os.path.join(tiff_folder, f"{plot_id}.tif"),
-                    with_weights,
-                    get_geotransform(
-                        batch["plot_center"][j], cfg.model.diam_meters, cfg.model.diam_pix
-                    ),
-                )
+    for metas, rasters_s, preds_s in pending:
+        # one blocking fetch per program call (stacks, not per-batch slices:
+        # each device-side slice would be its own dispatch through the relay)
+        rasters_s = np.asarray(rasters_s)
+        preds_s = np.asarray(preds_s)
+        if rasters_s.ndim == 4:  # per-batch path: add the chain axis
+            rasters_s, preds_s = rasters_s[None], preds_s[None]
+        for batch, rasters, pred_pl in zip(metas, rasters_s, preds_s):
+            for j in np.where(batch["valid"])[0]:
+                plot_id = batch["plot_id"][j]
+                if is_pseudo:
+                    dataset[plot_id]["coverages"] = pred_pl[j]
+                else:
+                    with_weights = add_weights_band_to_rasters(
+                        rasters[j], cfg.model.diam_pix
+                    )
+                    write_geotiff(
+                        os.path.join(tiff_folder, f"{plot_id}.tif"),
+                        with_weights,
+                        get_geotransform(
+                            batch["plot_center"][j], cfg.model.diam_meters, cfg.model.diam_pix
+                        ),
+                    )
 
     if is_pseudo:
         # DEV's max_batches cap can leave plots unpredicted (the reference

@@ -474,6 +474,68 @@ class TestEndToEndParcel:
         assert {"PRED_BASSE", "PRED_INTER", "PRED_HAUTE", "PRED_ADM"} <= set(rec)
         assert 0 <= rec["PRED_BASSE"] <= 1
 
+    def test_predict_program_matches_per_batch(self, tmp_path):
+        """The chained one-program predict path (predict_chain > 1, one
+        lax.scan program per group of batches, VERDICT r3 item 4) must be
+        bit-identical to the per-batch step: same merged parcel tif, same
+        plotwise coverages."""
+        import jax
+        from dataclasses import replace
+        from tests.synthetic import make_plot_cloud, tiny_config
+        from stratanet2_tpu.inference.predict import predict_parcel
+        from stratanet2_tpu.models import init_pointnet2
+
+        rng = np.random.default_rng(3)
+        # 10 plots at batch_size 4 -> 3 batches; chain=2 -> 2 program calls
+        # (the second padded with an all-invalid tail batch)
+        plots = {}
+        for i in range(10):
+            cx, cy = 10 + 20 * (i % 3), 10 + 20 * (i // 3)
+            cloud = make_plot_cloud(rng, n=500, center=(cx, cy), radius=9)
+            pid = f"PP{i:08d}_X{cx}_Y{cy}"
+            plots[pid] = {
+                "cloud": cloud,
+                "N_points_in_cloud": cloud.shape[1],
+                "plot_center": np.array([float(cx), float(cy)]),
+                "plot_id": pid,
+                "index": i,
+                "coverages": np.array([]),
+            }
+        shape = square(0, 0, 80)
+        model = init_pointnet2(jax.random.PRNGKey(0), tiny_config().model)
+
+        outs = {}
+        for name, chain in (("chained", 2), ("per_batch", 1)):
+            cfg = tiny_config()
+            cfg = replace(cfg, data=replace(cfg.data, predict_chain=chain))
+            out_dir = str(tmp_path / name)
+            tif = predict_parcel(
+                model, {k: dict(v) for k, v in plots.items()}, cfg,
+                "PARCEL1", out_dir, task="inference", parcel_shape=shape,
+            )
+            assert tif and os.path.exists(tif)
+            outs[name] = G.read_geotiff(tif).bands
+            # pseudo-labelling coverages through the same two paths
+            pkl = predict_parcel(
+                model,
+                {k: dict(v, N_points_in_cloud=3000) for k, v in plots.items()},
+                cfg, "PARCEL1", str(tmp_path / (name + "_pl")),
+                task="pseudo_labelling",
+            )
+            import pickle
+
+            with open(pkl, "rb") as f:
+                outs[name + "_cov"] = {
+                    k: v["coverages"] for k, v in pickle.load(f).items()
+                }
+
+        np.testing.assert_array_equal(outs["chained"], outs["per_batch"])
+        assert outs["chained_cov"].keys() == outs["per_batch_cov"].keys()
+        for k in outs["chained_cov"]:
+            np.testing.assert_array_equal(
+                outs["chained_cov"][k], outs["per_batch_cov"][k]
+            )
+
     def test_predict_parcel_all_invalid(self, tmp_path, monkeypatch):
         """A parcel where no plot yields a tiff (all-padding batches) must not
         crash on the absent tiff folder — the reference tolerates it via its
