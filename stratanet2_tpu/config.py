@@ -229,6 +229,7 @@ def _add_flags(p: argparse.ArgumentParser) -> None:
         default=None,
     )
     p.add_argument("--predict_chain", type=int, default=None)
+    p.add_argument("--min_points_for_pseudo_labelling", type=int, default=None)
     # namespace-only (consumed by cli/main): shard the POINT axis across
     # devices for training — the context-parallel analogue for dense clouds
     # (parallel/point_sharded.make_point_sharded_train_step)
@@ -269,6 +270,7 @@ def parse_config(argv: Optional[list] = None) -> Tuple[Config, argparse.Namespac
                 "corrected_gt_file_path", "las_parcels_folder_path",
                 "parcel_shapefile_path", "plots_pickled_dataset_path",
                 "transfer_dtype", "device_resident", "predict_chain",
+                "min_points_for_pseudo_labelling",
             ],
         ),
     )
