@@ -313,23 +313,48 @@ def _knn_kernel(k: int, s_valid: int):
         wsum = jnp.zeros((1, tc), jnp.float32)
         ws, idxs = [], []
         dn_gather = (((1,), (0,)), ((), ()))  # (2F+6, S) @ (S, TC)
-        for j in range(k):
-            idx = jnp.argmin(dpart, axis=0).astype(jnp.int32)[None, :]
+
+        # Hand software-pipelined k-loop (roofline: the fwd previously sat
+        # AT its no-overlap MXU+VPU bound because each gather dot's result
+        # was consumed immediately, so the in-order schedule stalled the
+        # VPU on the MXU every pass). Here pass j+1's argmin/one-hot/mask
+        # (pure VPU, independent of dot_j) are issued BETWEEN dot_j and its
+        # consumers (dmin/w/acc), letting the MXU crunch dot_j while the
+        # VPU finds the next winner. Pure reorder of independent ops —
+        # bit-exact same arithmetic per element.
+        def select(dp):
+            idx = jnp.argmin(dp, axis=0).astype(jnp.int32)[None, :]
             hit = rows2 == idx  # (S, TC)
-            onehot_t = hit.astype(jnp.bfloat16)
             selx = jax.lax.dot_general(
-                fx, onehot_t, dn_gather, preferred_element_type=jnp.float32
-            )  # (2F+6, TC)
+                fx,
+                hit.astype(jnp.bfloat16),
+                dn_gather,
+                preferred_element_type=jnp.float32,
+            )  # (2F+6, TC) — issued; not consumed until after the next argmin
+            return idx, hit, selx
+
+        def consume(selx):
             sel = selx[: f + 3] + selx[f + 3 :]  # hi + lo, (F+3, TC)
             dxyz = sel[f:] - tgt3  # (3, TC)
             dmin = jnp.sum(dxyz * dxyz, axis=0, keepdims=True)  # exact |x-t|^2
             w = 1.0 / jnp.maximum(dmin, 1e-16)  # (1, TC)
+            return sel, w
+
+        idx, hit, selx = select(dpart)
+        idxs.append(idx)
+        for j in range(1, k):
+            dpart = jnp.where(hit, jnp.float32(3.4e38), dpart)
+            idx, hit, selx_next = select(dpart)
+            idxs.append(idx)
+            sel, w = consume(selx)  # waits on dot_{j-1} only
             acc = acc + sel[:f] * w
             wsum = wsum + w
-            idxs.append(idx)
             ws.append(w)
-            if j < k - 1:
-                dpart = jnp.where(hit, jnp.float32(3.4e38), dpart)
+            selx = selx_next
+        sel, w = consume(selx)
+        acc = acc + sel[:f] * w
+        wsum = wsum + w
+        ws.append(w)
         out_ref[0] = acc / wsum
         # idx/w ride a (k, TC) layout: a (TC, k) block would put k on the
         # 128-lane tile dim, inflating the HBM array ~40x and dragging
@@ -414,7 +439,12 @@ def _knn_scatter_kernel(k: int):
         acc = jnp.zeros((out_ref.shape[1], spad), jnp.float32)
         dn = (((1,), (0,)), ((), ()))  # (F, TC) @ (TC, SP)
         fdim = out_ref.shape[1]
-        for j in range(k):
+
+        # Hand software-pipelined like _knn_kernel: pass j+1's one-hot
+        # build + hi/lo split (pure VPU) are issued BETWEEN dot_j and its
+        # accumulation, so the VPU prepares the next operands while the
+        # MXU crunches the current dot. Pure reorder — bit-exact.
+        def prep(j):
             onehot = (cols == idx_ref[0, j, :][:, None]).astype(jnp.bfloat16)
             wg = gt * w_ref[0, j, :][None, :]  # (F, TC) f32
             hi = wg.astype(jnp.bfloat16)
@@ -422,10 +452,16 @@ def _knn_scatter_kernel(k: int):
             # stacked hi/lo halves in one dot (see _knn_kernel: a dot PAIR
             # pays the per-dot fixed cost twice; M just streams)
             hl = jnp.concatenate([hi, lo], axis=0)  # (2F, TC)
-            d = jax.lax.dot_general(
+            return jax.lax.dot_general(
                 hl, onehot, dn, preferred_element_type=jnp.float32
             )  # (2F, SP)
+
+        d = prep(0)
+        for j in range(1, k):
+            d_next = prep(j)
             acc = acc + d[:fdim] + d[fdim:]
+            d = d_next
+        acc = acc + d[:fdim] + d[fdim:]
 
         jc = pl.program_id(1)
 
