@@ -720,11 +720,12 @@ def _bq_kernel(k: int, g_real: int, n_valid: int, r2: float, blk: int):
         nbits = max(1, (g - 1).bit_length())
         low = (1 << nbits) - 1
 
-        def body(bi, carry):
-            idx_acc, mask_acc = carry
-            ab_t = jax.lax.dot_general(
+        def dot_block(bi):
+            return jax.lax.dot_general(
                 xyz9_ref[0, bi], c9t, dn_ab, preferred_element_type=jnp.float32
             )  # (blk*G, CC)
+
+        def merge_block(bi, ab_t, idx_acc, mask_acc):
             pnb = pn_ref[0, bi]  # (1, blk*G)
             for l in range(blk):
                 gi = bi * blk + l
@@ -755,9 +756,26 @@ def _bq_kernel(k: int, g_real: int, n_valid: int, r2: float, blk: int):
                 mask_acc = jnp.where(here, valid.astype(jnp.int32), mask_acc)
             return idx_acc, mask_acc
 
+        # Cross-block software pipeline (same rationale as _knn_kernel's
+        # k-loop): block bi+1's distance dot (MXU, independent) is issued
+        # BEFORE block bi's min/argmin merges (pure VPU), so the MXU
+        # streams the next tile while the VPU consumes the current one.
+        # The caller halves the block budget so TWO (blk*G, CC) f32 tiles
+        # fit in scoped VMEM. Pure reorder — bit-exact outputs.
         idx0 = jnp.zeros((k, cc), jnp.int32)
         m0 = jnp.zeros((k, cc), jnp.int32)
-        idx_out, mask_out = jax.lax.fori_loop(0, k // blk, body, (idx0, m0))
+        nb = k // blk
+
+        def body(bi, carry):
+            idx_acc, mask_acc, ab_t = carry
+            ab_next = dot_block(bi + 1)
+            idx_acc, mask_acc = merge_block(bi, ab_t, idx_acc, mask_acc)
+            return idx_acc, mask_acc, ab_next
+
+        idx_out, mask_out, ab_last = jax.lax.fori_loop(
+            0, nb - 1, body, (idx0, m0, dot_block(0))
+        )
+        idx_out, mask_out = merge_block(nb - 1, ab_last, idx_out, mask_out)
         idx_ref[0] = idx_out
         mask_ref[0] = mask_out
 
@@ -785,7 +803,9 @@ def ball_query_grouped_pallas(
     xt, g_real, g = _grouped_layout(points, k)
     xt9 = _hilo9_rows(xt)
     pn = jnp.sum(xt * xt, axis=1, keepdims=True)  # (B, 1, K*G) f32
-    blk = _group_blocks(k, g)
+    # halved budget: the kernel's cross-block software pipeline keeps TWO
+    # (blk*G, CC) f32 distance tiles live (current + prefetched next)
+    blk = _group_blocks(k, g, budget=6 * 2**20)
     nb = k // blk
     xt9 = xt9.reshape(b, 9, nb, blk * g).swapaxes(1, 2)  # (B, nb, 9, blk*G)
     pn = pn.reshape(b, 1, nb, blk * g).swapaxes(1, 2)
