@@ -143,3 +143,31 @@ def test_dryrun_multichip_never_queries_axon_inprocess():
     assert r.returncode == 0, (r.stdout, r.stderr)
     assert "dryrun_multichip OK" in r.stdout and "DONE" in r.stdout
     assert "host-slice" in r.stdout
+
+
+def test_entry_falls_back_to_cpu_on_dead_relay():
+    """entry() must never hang on a dead relay: the FIRST device touch
+    (PRNGKey creation in init) would spin forever in the axon client's
+    retry loop. Deterministic simulation: point the probe at a closed port
+    inside the subprocess, resolve the axon platform, and require entry()
+    + a jit compile to complete with the CPU fallback."""
+    env = _clean_env(JAX_PLATFORMS="axon")
+    code = (
+        "import stratanet2_tpu.utils.backendprobe as bp;"
+        "bp.RELAY_PORTS = (1,);"  # nothing listens on port 1
+        "import jax, __graft_entry__ as g;"
+        "fn, args = g.entry();"
+        "out = jax.jit(fn)(*args);"
+        "print('ENTRY_PLATFORM', jax.devices()[0].platform)"
+    )
+    r = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True,
+        text=True,
+        env=env,
+        cwd=REPO,
+        timeout=560,
+    )
+    assert r.returncode == 0, (r.stdout, r.stderr)
+    assert "ENTRY_PLATFORM cpu" in r.stdout
+    assert "falling back to CPU" in r.stderr
