@@ -117,15 +117,30 @@ def make_predict_step(cfg: Config, mesh=None):
     if mesh is None:
         return step
 
-    from stratanet2_tpu.parallel import batch_sharding, replicate
+    from stratanet2_tpu.parallel import batch_sharding
 
-    # Replicate params/state once per model identity, not per batch — the
-    # per-batch device_put of the full param pytree re-issued every transfer
-    # (advisor r2 weak #4). Keyed on pytree-leaf ids: a new checkpoint load
-    # produces fresh arrays and re-replicates.
-    rep_cache = {}
+    replicator = _cached_replicator(mesh)
 
     def sharded_step(model, cloud, xyz):
+        model_r = replicator(model)
+        cloud = jax.device_put(cloud, batch_sharding(mesh, 3))
+        xyz = jax.device_put(xyz, batch_sharding(mesh, 3))
+        return step(model_r, cloud, xyz)
+
+    return sharded_step
+
+
+def _cached_replicator(mesh):
+    """Replicate params/state once per model identity, not per batch — the
+    per-batch device_put of the full param pytree re-issued every transfer
+    (advisor r2 weak #4). Keyed on pytree-leaf ids: a new checkpoint load
+    produces fresh arrays and re-replicates. Shared by make_predict_step
+    and make_predict_program."""
+    from stratanet2_tpu.parallel import replicate
+
+    rep_cache = {}
+
+    def replicator(model):
         leaves = jax.tree_util.tree_leaves(model)
         key = tuple(id(l) for l in leaves)
         if key not in rep_cache:
@@ -134,12 +149,9 @@ def make_predict_step(cfg: Config, mesh=None):
             # while the objects are alive (CPython reuses addresses after
             # GC, which could serve a stale checkpoint's replication)
             rep_cache[key] = (leaves, replicate(mesh, model))
-        model_r = rep_cache[key][1]
-        cloud = jax.device_put(cloud, batch_sharding(mesh, 3))
-        xyz = jax.device_put(xyz, batch_sharding(mesh, 3))
-        return step(model_r, cloud, xyz)
+        return rep_cache[key][1]
 
-    return sharded_step
+    return replicator
 
 
 def make_predict_program(cfg: Config, mesh=None):
@@ -180,19 +192,13 @@ def make_predict_program(cfg: Config, mesh=None):
 
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    from stratanet2_tpu.parallel import replicate
     from stratanet2_tpu.parallel.mesh import BATCH_AXIS
 
     inner_batch = NamedSharding(mesh, P(None, BATCH_AXIS))
-    rep_cache = {}
+    replicator = _cached_replicator(mesh)
 
     def sharded_program(model, clouds, xyzs):
-        leaves = jax.tree_util.tree_leaves(model)
-        key = tuple(id(l) for l in leaves)
-        if key not in rep_cache:
-            rep_cache.clear()
-            rep_cache[key] = (leaves, replicate(mesh, model))
-        model_r = rep_cache[key][1]
+        model_r = replicator(model)
         clouds = jax.device_put(clouds, inner_batch)
         xyzs = jax.device_put(xyzs, inner_batch)
         return program(model_r, clouds, xyzs)

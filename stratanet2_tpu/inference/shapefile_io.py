@@ -214,13 +214,15 @@ def _write_dbf(path: str, fields: List[FieldSpec], records: List[Dict[str, objec
     # single byte in the DBF header, so 255 is the hard cap (beyond it the
     # value genuinely cannot be represented and we do raise).
     fields = list(fields)
+    col_strings: Dict[str, List[str]] = {}
     for i, fs in enumerate(fields):
         if fs.ftype not in ("N", "F"):
             continue
-        need = max(
-            (len(_format_numeric(r.get(fs.name), fs.length, fs.decimals)) for r in records),
-            default=0,
-        )
+        strs = [
+            _format_numeric(r.get(fs.name), fs.length, fs.decimals)
+            for r in records
+        ]
+        need = max((len(s) for s in strs), default=0)
         if need > fs.length:
             if need > 255:
                 raise ValueError(
@@ -233,6 +235,13 @@ def _write_dbf(path: str, fields: List[FieldSpec], records: List[Dict[str, objec
                 fs.name, fs.length, need,
             )
             fields[i] = FieldSpec(fs.name, fs.ftype, need, fs.decimals)
+            # re-format once against the final width (a wider field can
+            # retain more decimals); unwidened columns reuse the first pass
+            strs = [
+                _format_numeric(r.get(fs.name), need, fs.decimals)
+                for r in records
+            ]
+        col_strings[fs.name] = strs
 
     header_size = 32 + 32 * len(fields) + 1
     record_size = 1 + sum(f.length for f in fields)
@@ -247,18 +256,18 @@ def _write_dbf(path: str, fields: List[FieldSpec], records: List[Dict[str, objec
             f.write(struct.pack("<BB", fs.length, fs.decimals))
             f.write(b"\0" * 14)
         f.write(b"\x0d")
-        for rec in records:
+        for ri, rec in enumerate(records):
             f.write(b" ")
             for fs in fields:
-                v = rec.get(fs.name)
                 if fs.ftype in ("N", "F"):
-                    s = _format_numeric(v, fs.length, fs.decimals)
+                    s = col_strings[fs.name][ri]  # pre-formatted, fits
                     if len(s) > fs.length:  # unreachable after auto-widen
                         raise ValueError(
-                            f"value {v!r} does not fit DBF field "
+                            f"value {s!r} does not fit DBF field "
                             f"{fs.name} ({fs.ftype}, width {fs.length})"
                         )
                     f.write(s.rjust(fs.length).encode("ascii"))
                 else:
+                    v = rec.get(fs.name)
                     f.write(str(v if v is not None else "")[: fs.length].ljust(fs.length).encode("ascii", "replace"))
         f.write(b"\x1a")

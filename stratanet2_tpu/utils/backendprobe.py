@@ -156,17 +156,45 @@ def probe_backend(timeout_s: float = 120.0) -> ProbeResult:
 
 
 def _subprocess_probe(timeout_s: float) -> ProbeResult:
+    # Kill discipline (CLAUDE.md): never SIGKILL a client mid-relay-RPC —
+    # that wedged the relay in rounds 3/3b. A timed-out probe is stopped
+    # with SIGTERM (the relay itself SIG_IGNs TERM; the CLIENT dies
+    # cleanly) and given a generous grace period; SIGKILL only as the very
+    # last resort for a client that ignores TERM. A probe that answers
+    # during the grace window is still used. Note a timeout does NOT prove
+    # the relay is dead — a healthy relay busy with another client's long
+    # compile queues queries behind it (round-3b: 63 s phantom fetches) —
+    # so the error message distinguishes busy-or-wedged from port-refused.
+    proc = subprocess.Popen(
+        [sys.executable, "-c", _PROBE_CODE],
+        stdout=subprocess.PIPE,
+        stderr=subprocess.PIPE,
+        text=True,
+    )
     try:
-        r = subprocess.run(
-            [sys.executable, "-c", _PROBE_CODE],
-            capture_output=True,
-            text=True,
-            timeout=timeout_s,
-        )
+        out, err = proc.communicate(timeout=timeout_s)
+        r = subprocess.CompletedProcess(proc.args, proc.returncode, out, err)
     except subprocess.TimeoutExpired:
+        proc.terminate()  # SIGTERM, by PID — never by pattern
+        try:
+            out, err = proc.communicate(timeout=60.0)
+            if proc.returncode == 0 and out.strip():
+                r = subprocess.CompletedProcess(proc.args, 0, out, err)
+                return _parse_probe(r)
+        except subprocess.TimeoutExpired:
+            proc.kill()  # last resort: TERM was ignored for 60 s
+            proc.communicate()
         return ProbeResult(
-            False, None, 0, f"backend probe hung > {timeout_s:.0f}s (relay wedged)"
+            False,
+            None,
+            0,
+            f"backend probe exceeded {timeout_s:.0f}s (relay busy with "
+            "another client or wedged; probe stopped with SIGTERM)",
         )
+    return _parse_probe(r)
+
+
+def _parse_probe(r) -> ProbeResult:
     if r.returncode != 0:
         tail = (r.stderr or r.stdout).strip().splitlines()[-1:]
         return ProbeResult(False, None, 0, f"probe rc={r.returncode}: {tail}")

@@ -24,6 +24,13 @@ def files_in(folder: str) -> List[str]:
     return [p for p in glob.glob(os.path.join(folder, "*")) if os.path.isfile(p)]
 
 
+def host_shard_of(path: str, n_hosts: int) -> int:
+    """Owning host of a worklist entry: stable hash of the STEM (crc32 —
+    the built-in hash() is salted per interpreter and would partition
+    differently on every host)."""
+    return zlib.crc32(stem(path).encode()) % n_hosts
+
+
 def get_unprocessed_files(
     input_folder: str,
     output_folder: str,
@@ -37,12 +44,7 @@ def get_unprocessed_files(
     done = {stem(p) for p in files_in(output_folder)} if os.path.isdir(output_folder) else set()
     todo = [p for p in files_in(input_folder) if stem(p) not in done]
     if n_hosts > 1:
-        # crc32: stable across processes/hosts (built-in hash() is salted
-        # per interpreter and would partition differently on every host)
-        todo = [
-            p for p in todo
-            if zlib.crc32(stem(p).encode()) % n_hosts == host_id
-        ]
+        todo = [p for p in todo if host_shard_of(p, n_hosts) == host_id]
     rnd = random.Random(shuffle_seed)
     rnd.shuffle(todo)
     return todo

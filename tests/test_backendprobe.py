@@ -54,12 +54,32 @@ def test_port_closed_fast_fail(monkeypatch):
 
 
 def test_subprocess_probe_timeout(monkeypatch):
-    """A hung device query is killed by PID at the bound (never pattern)."""
+    """A hung device query is stopped by PID at the bound (SIGTERM first —
+    never SIGKILL mid-relay-RPC, never by pattern)."""
     monkeypatch.setattr(
         bp, "_PROBE_CODE", "import time; time.sleep(60)"
     )
     res = bp._subprocess_probe(timeout_s=1.0)
-    assert not res.ok and "hung" in res.error
+    assert not res.ok and "exceeded" in res.error and "SIGTERM" in res.error
+
+
+def test_subprocess_probe_late_answer_within_grace(monkeypatch):
+    """A probe that answers during the SIGTERM grace window is still used
+    (a busy-but-healthy relay must not read as dead)."""
+    monkeypatch.setattr(
+        bp,
+        "_PROBE_CODE",
+        # ignore SIGTERM, answer ~5s after the bound, inside the grace
+        # window. The bound is 10s so even a loaded 1-core box installs the
+        # handler before it fires (a 2s bound raced interpreter startup
+        # under full-suite load and the child died to the TERM).
+        "import signal, time, json;"
+        "signal.signal(signal.SIGTERM, signal.SIG_IGN);"
+        "time.sleep(15);"
+        "print(json.dumps({'platform': 'cpu', 'n': 3}))",
+    )
+    res = bp._subprocess_probe(timeout_s=10.0)
+    assert res.ok and res.platform == "cpu" and res.n_devices == 3
 
 
 def test_subprocess_probe_crash(monkeypatch):

@@ -179,6 +179,14 @@ class TestPipeline:
         the worklist diff forever."""
         import stratanet2_tpu.cli.predict as P
 
+        # self-contained when run alone: the prepared parcel normally comes
+        # from test_prepare_predict_ssl, but pytest -k selections may skip it
+        prepared = data_tree / "parcelles_dataset_20m" / "prepared" / "PARCELA.pkl"
+        if not prepared.exists():
+            from stratanet2_tpu.cli.prepare import main as prepare_main
+
+            prepare_main(_common_args(data_tree, experiments))
+
         out_tif = (
             data_tree / "parcelles_dataset_20m" / "inference"
             / os.path.basename(trained.rstrip("/")) / "PARCELA.tif"

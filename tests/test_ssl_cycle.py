@@ -9,13 +9,12 @@ import os
 import subprocess
 import sys
 
-import pytest
-
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-@pytest.mark.timeout(900)
 def test_ssl_cycle_smoke(tmp_path):
+    # hang protection is the subprocess.run(timeout=850) below
+    # (pytest-timeout is not installed, so a marker would be inert)
     env = dict(
         os.environ,
         JAX_PLATFORMS="cpu",
