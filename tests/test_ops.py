@@ -216,6 +216,32 @@ class TestBallQuery:
             np.asarray(ik), np.swapaxes(np.asarray(ip), 1, 2)
         )
 
+    def test_pallas_multi_block_pipeline_matches_lax(self, rng):
+        """k=32 at n=1024 gives blk=16 -> nb=2 blocks, exercising the
+        cross-block software pipeline (fori_loop body + epilogue merge)
+        against the lax oracle; k=4 covers the nb=1 epilogue-only path."""
+        from stratanet2_tpu.ops.pallas_kernels import ball_query_grouped_pallas
+
+        for k, n, c in ((32, 1024, 40), (4, 256, 12)):
+            pts = (rng.normal(size=(2, n, 3)) * 3).astype(np.float32)
+            cen = pts[:, :: n // c][:, :c]
+            r = 1.5
+            ip, mp = ball_query_grouped_pallas(
+                jnp.asarray(cen), jnp.asarray(pts), r, k
+            )
+            il, ml = ball_query(
+                jnp.asarray(cen), jnp.asarray(pts), r, k, method="grouped"
+            )
+            np.testing.assert_array_equal(np.asarray(mp), np.asarray(ml))
+            for b in range(2):
+                for ci in range(c):
+                    d2 = np.sum((pts[b] - cen[b, ci]) ** 2, axis=1)
+                    sp = np.asarray(ip)[b, ci][np.asarray(mp)[b, ci]]
+                    sl = np.asarray(il)[b, ci][np.asarray(ml)[b, ci]]
+                    np.testing.assert_allclose(
+                        np.sort(d2[sp]), np.sort(d2[sl]), atol=2e-3
+                    )
+
 
 def knn_interpolate_oracle(x, pos_x, pos_y, k):
     """torch_geometric.nn.knn_interpolate semantics (inverse d^2, clamped)."""
