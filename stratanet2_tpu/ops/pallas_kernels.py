@@ -22,6 +22,7 @@ Per iteration (all shapes (B, N), VPU element ops):
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -372,12 +373,15 @@ def _knn_pallas_raw(x_src, pos_src, pos_tgt, k: int, tc: int = 0):
     if tc <= 0:
         # adapt the target tile to VMEM: the kernel holds the (tc, S)
         # distance tile plus a same-size one-hot per argmin pass (~3 live
-        # (tc, S) f32 buffers) and the (S, F) feature table. 16e6 is
-        # empirically calibrated against the 16 MB scoped-vmem limit
-        # (s=2500: tc=512 compiles, tc=768 OOMs; measured r3: tc 256->512
-        # cuts PROD FP1 6.6 -> 5.2 ms — per-chunk fixed work dominates
-        # the loss from smaller tiles).
-        budget = 16_000_000
+        # (tc, S) f32 buffers) and the (S, F) feature table. Round-3
+        # calibration against the 16 MB scoped-vmem limit: budget 16e6 ->
+        # tc=512 at s=2500 (tc=768 OOMs; tc 256->512 cut PROD FP1
+        # 6.6 -> 5.2 ms — per-chunk fixed work dominates). Round 4's
+        # software pipeline keeps ONE MORE live (S, tc) bf16 one-hot
+        # (dot_j's operand survives pass j+1's argmin), so the default
+        # budget drops to 13e6 (tc=384 at s=2500) until re-calibrated on
+        # hardware; STRATANET2_KNN_TC_BUDGET overrides (TPU_PLAYBOOK).
+        budget = int(os.environ.get("STRATANET2_KNN_TC_BUDGET", 13_000_000))
         tc = max(128, min(1024, (budget // (s * 4 * 3)) // 128 * 128))
     tc = min(tc, t)
     tpad = _round_up(t, tc)
