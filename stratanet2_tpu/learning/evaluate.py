@@ -70,12 +70,16 @@ def evaluate(
     # one index table up, per-plot (pred_pl, losses) down in a single fetch.
     # Only figure-free evals qualify: the last epoch draws per-plot
     # interpretation figures (and embeddings) from per-point tensors the
-    # fast path deliberately does not return.
-    use_fast = (
-        device_eval is not None
-        and not last_epoch
-        and not cfg.plot_name_to_visualize_during_training
+    # fast path deliberately does not return. Tracked plots
+    # (cfg.plot_name_to_visualize_during_training) get a figure EVERY eval
+    # (reference learning/test.py:81-91) — but only if one is actually in
+    # THIS fold's val set; gating on the mere existence of the config tuple
+    # made the fast path unreachable in every real configuration (the
+    # default names are IGN field plots absent from most datasets).
+    tracked_in_fold = any(
+        pid in cfg.plot_name_to_visualize_during_training for pid in val_ids
     )
+    use_fast = device_eval is not None and not last_epoch and not tracked_in_fold
     if use_fast:
         from stratanet2_tpu.data.device_dataset import eval_index_table
 
@@ -99,12 +103,15 @@ def evaluate(
             for k in LOSS_KEYS:
                 sums[k] += float(comps[k][j])
             n += 1
+            cd = dataset[pid]
             summaries.append(
                 get_cloud_prediction_summary(
                     pid,
                     preds[j],
-                    np.asarray(dataset[pid]["coverages"]),
-                    int(dataset[pid]["N_points_in_cloud"]),
+                    np.asarray(cd["coverages"]),
+                    # optional key, same fallback as the host loader
+                    # (transforms.load_cloud_item)
+                    int(cd.get("N_points_in_cloud", cd["cloud"].shape[1])),
                 )
             )
         return _finalize_evaluate(

@@ -240,7 +240,15 @@ def train_one_epoch(
         acc = comps if acc is None else jax.tree_util.tree_map(jnp.add, acc, comps)
         n += 1
         n_points += batch["cloud"].shape[0] * batch["cloud"].shape[1]
-    sums = jax.device_get(acc) if acc is not None else {}
+    if acc is None:
+        # empty epoch (fewer train plots than batch_size): report zeroed
+        # loss keys so downstream logging (print_epoch_losses, fold stats)
+        # sees the same schema as a real epoch instead of KeyError'ing
+        from stratanet2_tpu.learning.evaluate import LOSS_KEYS
+
+        sums = {k: 0.0 for k in LOSS_KEYS}
+    else:
+        sums = jax.device_get(acc)
     means = {k: float(v) / max(n, 1) for k, v in sums.items()}
     means["step"] = int(jax.device_get(ts.step))
     means["points_per_sec"] = round(n_points / max(time.time() - t0, 1e-9), 1)
@@ -314,6 +322,9 @@ class EarlyStopper:
         return {
             "best_metric_value": self.best_metric_value,
             "best_metric_epoch": self.best_metric_epoch,
+            # persisted so resume=True on a fold that already early-stopped
+            # does not retrain past the stop point (duplicate evals/metrics)
+            "stopped_early": self.stopped_early,
         }
 
     def load_state_dict(self, state: Dict[str, float]) -> None:
@@ -323,6 +334,7 @@ class EarlyStopper:
         self.best_metric_epoch = int(
             state.get("best_metric_epoch", self.best_metric_epoch)
         )
+        self.stopped_early = bool(state.get("stopped_early", self.stopped_early))
 
 
 # Cross-fold program cache: cross-validation runs every fold in ONE
@@ -453,7 +465,11 @@ def train_full(
         if dr == "auto":
             import math
 
-            fake_max = int(math.pi / 4 * cfg.model.diam_pix**2) + 16
+            # fake ground points: one per 1m-pixel center inside the plot
+            # disk -> ~pi/4 * diam_METERS^2 (add_fake_empty_ground_points
+            # meshes over diam_meters, not diam_pix)
+            fake_max = int(math.pi / 4 * cfg.model.diam_meters**2) + 16
+            all_ids = list(train_ids) + list(val_ids)
             m_est = max(
                 cfg.model.subsample_size,
                 max(
@@ -463,12 +479,14 @@ def train_full(
                                 "N_points_in_cloud", dataset[i]["cloud"].shape[1]
                             )
                         )
-                        for i in train_ids
+                        for i in all_ids
                     ),
                     default=0,
                 ) + fake_max,
             )
-            est_bytes = len(train_ids) * m_est * 16 * 4
+            # both the train fold AND the val fold are uploaded (dd_val
+            # powers the device-resident eval fast path)
+            est_bytes = len(all_ids) * m_est * 16 * 4
             dr = est_bytes < cfg.data.device_resident_max_bytes
         else:
             dr = dr == "true"
@@ -550,6 +568,14 @@ def train_full(
         # the (possibly better) pre-crash best checkpoint; patience would
         # also restart from the resume point.
         stopper.load_state_dict(payload["metadata"].get("stopper", {}))
+        if cfg.train.use_early_stopping and stopper.stopped_early:
+            # the fold already early-stopped before the crash: don't retrain
+            # past the stop point (duplicate evals + a worse "final" entry)
+            logger.info(
+                "Fold %d already early-stopped at epoch %d; skipping training",
+                fold_id, start_epoch - 1,
+            )
+            start_epoch = cfg.train.n_epoch + 1
         logger.info("Resuming fold %d from epoch %d", fold_id, start_epoch)
 
     if mesh is not None:

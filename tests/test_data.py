@@ -572,13 +572,16 @@ class TestDeviceEval:
         run = make_device_eval(cfg, make_eval_core(cfg, kde))
         sink = MetricSink(str(tmp_path))
 
+        def must_not_run(*a, **kw):  # the fast path bypasses eval_step
+            raise AssertionError("host eval_step called: fast path did not engage")
+
         means1, summ1 = evaluate(
-            model, ds, pids, cfg, kde, make_eval_step(cfg, kde),
+            model, ds, pids, cfg, kde, must_not_run,
             str(tmp_path), sink, fold_id=1, epoch=2,
             device_eval=(run, dd_val),
         )
         means2, summ2 = evaluate(
-            model, ds, pids, cfg, kde, make_eval_step(cfg, kde),
+            model, ds, pids, cfg, kde, must_not_run,
             str(tmp_path), sink, fold_id=1, epoch=4,
             device_eval=(run, dd_val),
         )
@@ -590,3 +593,25 @@ class TestDeviceEval:
             assert np.isfinite(means1[k])
             # fixed per-fold subsample key: eval is epoch-deterministic
             np.testing.assert_allclose(means1[k], means2[k], rtol=1e-6)
+
+        # a TRACKED plot in the val fold forces the host path (per-eval
+        # interpretation figures need per-point tensors the fast path
+        # does not return); tracked names NOT in the fold must not
+        from dataclasses import replace
+
+        cfg_tracked = replace(
+            cfg, plot_name_to_visualize_during_training=(pids[0],)
+        )
+        host_called = []
+
+        def host_step(*a, **kw):
+            host_called.append(1)
+            return make_eval_step(cfg, kde)(*a, **kw)
+
+        evaluate(
+            model, ds, pids, cfg_tracked, kde, host_step,
+            str(tmp_path), sink2 := MetricSink(str(tmp_path)), fold_id=1,
+            epoch=2, device_eval=(run, dd_val),
+        )
+        sink2.close()
+        assert host_called, "tracked plot in fold must route to the host path"

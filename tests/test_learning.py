@@ -228,3 +228,28 @@ class TestProgramCache:
                 np.testing.assert_allclose(
                     da["total_loss"], db["total_loss"], rtol=1e-6
                 )
+
+def test_train_one_epoch_empty_loader_reports_zeroed_losses():
+    """Fewer train plots than batch_size -> the drop_last loader yields no
+    batches; the epoch must report the normal loss schema (zeroed) instead
+    of an empty dict that KeyErrors in print_epoch_losses."""
+    import jax
+
+    from stratanet2_tpu.learning.evaluate import LOSS_KEYS
+    from stratanet2_tpu.learning.train import train_one_epoch
+
+    def no_step(*a):
+        raise AssertionError("no batches expected")
+
+    ts, means = train_one_epoch(no_step, _fake_ts(), [], jax.random.PRNGKey(0))
+    for k in LOSS_KEYS:
+        assert means[k] == 0.0
+    assert means["step"] == 0
+
+
+def _fake_ts():
+    import jax.numpy as jnp
+
+    from stratanet2_tpu.learning.train import TrainState
+
+    return TrainState({}, {}, {}, jnp.asarray(0, jnp.int32))

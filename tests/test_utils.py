@@ -202,6 +202,53 @@ class TestResume:
                 <= pre_best.get("best_metric_value", 1e6) + 1e-9
             )
 
+    def test_resume_skips_already_stopped_fold(self, tmp_path):
+        """A fold whose resume checkpoint records stopped_early=True must
+        not retrain past the stop point on resume=True (it would append
+        duplicate evals and could overwrite the best checkpoint)."""
+        from dataclasses import replace
+
+        from tests.synthetic import make_plot_dataset, tiny_config
+        from stratanet2_tpu.learning.kde import fit_kde_mixture_from_dataset
+        from stratanet2_tpu.learning.train import train_full
+        from stratanet2_tpu.utils.checkpoint import (
+            load_checkpoint,
+            save_checkpoint,
+        )
+        from stratanet2_tpu.utils.experiment import MetricSink
+
+        cfg = tiny_config()
+        cfg = replace(
+            cfg,
+            train=replace(
+                cfg.train, n_epoch=1, n_epoch_test=1, use_early_stopping=True
+            ),
+        )
+        ds = make_plot_dataset(np.random.default_rng(1), n_plots=8, n_points=200)
+        kde = fit_kde_mixture_from_dataset(ds)
+        ids = np.array(sorted(ds.keys()))
+        sink = MetricSink(str(tmp_path))
+        train_full(ds, ids[:6], ids[6:], cfg, kde, str(tmp_path), sink, fold_id=1)
+        rp = str(tmp_path / "PCC_model_fold_n=1.pt.resume")
+        payload = load_checkpoint(rp)
+        # doctor the metadata to a mid-schedule early stop (deterministic:
+        # whether a real stop fires depends on the loss trajectory)
+        md = dict(payload["metadata"])
+        md["stopper"] = dict(md["stopper"], stopped_early=True)
+        save_checkpoint(
+            rp, payload["params"], payload["model_state"],
+            payload["opt_state"], metadata=md,
+        )
+        cfg6 = replace(cfg, train=replace(cfg.train, n_epoch=6))
+        _, train_losses, test_losses, _ = train_full(
+            ds, ids[:6], ids[6:], cfg6, kde, str(tmp_path), sink,
+            fold_id=1, resume=True,
+        )
+        sink.close()
+        assert train_losses == []  # no retraining happened
+        # the final best-weights eval still runs (one last_epoch entry)
+        assert len(test_losses) <= 1
+
 
 class TestCompilationCache:
     def test_enable_and_opt_out(self, tmp_path, monkeypatch):
