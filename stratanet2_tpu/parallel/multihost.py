@@ -43,8 +43,18 @@ def initialize(
       full worklist each — duplicated work, no error).
 
     Safe to call on a single host (no-op without any of the above)."""
-    n_env = os.environ.get("JAX_NUM_PROCESSES") or num_processes
-    if coordinator_address or n_env:
+    # JAX does not read JAX_NUM_PROCESSES/JAX_PROCESS_ID itself — forward
+    # them (explicit args win; previously the env value only GATED the call
+    # and initialize() raised "Number of processes must be defined")
+    env_n = os.environ.get("JAX_NUM_PROCESSES")
+    env_pid = os.environ.get("JAX_PROCESS_ID")
+    if num_processes is None and env_n:
+        num_processes = int(env_n)
+    if process_id is None and env_pid is not None:
+        process_id = int(env_pid)
+    if coordinator_address is None:
+        coordinator_address = os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if coordinator_address or num_processes:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes,

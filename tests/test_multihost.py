@@ -25,11 +25,19 @@ jax.config.update("jax_platforms", "cpu")
 from stratanet2_tpu.parallel import multihost
 from stratanet2_tpu.utils.worklist import get_unprocessed_files
 
-pid, n = multihost.initialize(
-    coordinator_address=os.environ["COORD"],
-    num_processes=2,
-    process_id=int(os.environ["PID"]),
-)
+if os.environ.get("USE_ENV") == "1":
+    # env-var launch path: JAX_* vars must be forwarded into
+    # jax.distributed.initialize by multihost.initialize itself
+    os.environ["JAX_COORDINATOR_ADDRESS"] = os.environ["COORD"]
+    os.environ["JAX_NUM_PROCESSES"] = "2"
+    os.environ["JAX_PROCESS_ID"] = os.environ["PID"]
+    pid, n = multihost.initialize()
+else:
+    pid, n = multihost.initialize(
+        coordinator_address=os.environ["COORD"],
+        num_processes=2,
+        process_id=int(os.environ["PID"]),
+    )
 assert n == 2, f"process_count={n}"
 assert jax.device_count() == 2 * jax.local_device_count()
 
@@ -46,7 +54,9 @@ print("RESULT " + json.dumps({
 
 class TestMultihost:
     @pytest.mark.skipif(sys.platform != "linux", reason="local coordinator")
-    def test_two_process_initialize(self, tmp_path):
+    @pytest.mark.parametrize("use_env", [False, True],
+                             ids=["explicit-args", "env-vars"])
+    def test_two_process_initialize(self, tmp_path, use_env):
         repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
         # free port for the coordinator
         with socket.socket() as s:
@@ -75,8 +85,12 @@ class TestMultihost:
                 "COORD": f"127.0.0.1:{port}",
                 "WORK_IN": str(work_in),
                 "WORK_OUT": str(work_out),
+                "USE_ENV": "1" if use_env else "0",
             }
         )
+        for k in ("JAX_COORDINATOR_ADDRESS", "JAX_NUM_PROCESSES",
+                  "JAX_PROCESS_ID"):
+            env_base.pop(k, None)
         procs = []
         for pid in range(2):
             env = dict(env_base, PID=str(pid))
