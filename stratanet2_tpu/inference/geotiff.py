@@ -201,15 +201,20 @@ def read_geotiff(path: str) -> GeoTiff:
     )
     offsets = tags[T_STRIP_OFFSETS]
     planar = tags.get(T_PLANAR, [1])[0]
-    if planar == 2 and len(offsets) == c:
-        bands = np.stack(
-            [
-                np.frombuffer(raw, np.float32, h * w, offsets[i]).reshape(h, w)
-                for i in range(c)
-            ]
+    counts = tags.get(T_STRIP_COUNTS)
+    if counts and len(counts) == len(offsets) and len(offsets) > 1:
+        # GDAL default layout: many strips (RowsPerStrip rows each), not
+        # necessarily contiguous in the file — assemble them explicitly
+        data = b"".join(raw[o : o + sz] for o, sz in zip(offsets, counts))
+        flat = np.frombuffer(data, np.float32, h * w * c)
+    else:  # this writer's layout: one strip per band (planar=2) or one total
+        n_per = h * w if planar == 2 and len(offsets) == c else h * w * c
+        flat = np.concatenate(
+            [np.frombuffer(raw, np.float32, n_per, off) for off in offsets]
         )
-    else:  # contiguous single strip, interleaved
-        flat = np.frombuffer(raw, np.float32, h * w * c, offsets[0])
+    if planar == 2:
+        bands = flat.reshape(c, h, w)
+    else:  # interleaved
         bands = flat.reshape(h, w, c).transpose(2, 0, 1)
 
     scale = tags.get(T_MODEL_PIXEL_SCALE, [1.0, 1.0, 0.0])

@@ -282,6 +282,83 @@ class TestIOEdgeCases:
         out = G.read_geotiff(p)
         np.testing.assert_array_equal(out.bands[0], band)
 
+    def test_gdal_style_multistrip_interleaved(self, tmp_path, rng):
+        """GDAL's default layout: planar=1 (interleaved), RowsPerStrip
+        small, strips scattered in the file — the reader must assemble
+        them via StripOffsets+StripByteCounts, not assume one strip."""
+        import struct
+
+        c, h, w = 3, 5, 4
+        bands = rng.uniform(0, 1, (c, h, w)).astype(np.float32)
+        interleaved = bands.transpose(1, 2, 0)  # (h, w, c)
+        rows_per_strip = 2
+        strips = [
+            interleaved[r : r + rows_per_strip].tobytes()
+            for r in range(0, h, rows_per_strip)
+        ]
+        # store strips in REVERSED file order to prove offsets are honored
+        entries = [
+            (256, 3, 1, [w]), (257, 3, 1, [h]), (258, 3, c, [32] * c),
+            (259, 3, 1, [1]), (262, 3, 1, [1]), (277, 3, 1, [c]),
+            (278, 3, 1, [rows_per_strip]), (284, 3, 1, [1]),
+            (339, 3, c, [3] * c),
+        ]
+        n_entries = len(entries) + 2
+        ifd_start = 8
+        ifd_size = 2 + n_entries * 12 + 4
+        overflow_start = ifd_start + ifd_size
+
+        def val_bytes(t, cnt, vals):
+            fmt = {3: "H", 4: "I"}[t]
+            return struct.pack("<" + fmt * cnt, *vals)
+
+        # lay strips out reversed after the overflow area
+        tmp_len = sum(
+            len(val_bytes(t, cnt, vals)) + len(val_bytes(t, cnt, vals)) % 2
+            for _, t, cnt, vals in entries
+            if len(val_bytes(t, cnt, vals)) > 4
+        )
+        n_strips = len(strips)
+        for sz in ({3: 2, 4: 4}[4] * n_strips,) * 2:  # offsets+counts arrays
+            if sz > 4:
+                tmp_len += sz + sz % 2
+        data_start = overflow_start + tmp_len
+        offs, pos = [], data_start
+        for s in reversed(strips):
+            offs.append(pos)
+            pos += len(s)
+        offsets = list(reversed(offs))  # offsets[i] -> strip i (stored last-first)
+        counts = [len(s) for s in strips]
+        all_entries = sorted(
+            entries
+            + [(273, 4, n_strips, offsets), (279, 4, n_strips, counts)],
+            key=lambda e: e[0],
+        )
+        overflow, packed = bytearray(), []
+        for tag, t, cnt, vals in all_entries:
+            rawv = val_bytes(t, cnt, vals)
+            if len(rawv) <= 4:
+                packed.append(struct.pack("<HHI", tag, t, cnt) + rawv.ljust(4, b"\0"))
+            else:
+                packed.append(
+                    struct.pack("<HHII", tag, t, cnt, overflow_start + len(overflow))
+                )
+                overflow += rawv
+                if len(rawv) % 2:
+                    overflow += b"\0"
+        assert overflow_start + len(overflow) == data_start
+        p = str(tmp_path / "gdalstyle.tif")
+        with open(p, "wb") as f:
+            f.write(struct.pack("<2sHI", b"II", 42, ifd_start))
+            f.write(struct.pack("<H", n_entries))
+            f.write(b"".join(packed))
+            f.write(struct.pack("<I", 0))
+            f.write(bytes(overflow))
+            for s in reversed(strips):
+                f.write(s)
+        out = G.read_geotiff(p)
+        np.testing.assert_array_equal(out.bands, bands)
+
 
 class TestShapefile:
     def test_roundtrip(self, tmp_path, rng):
