@@ -126,6 +126,6 @@ def plot_kde_mixture(kde: KdeMixture, save_path: str, x_lim: float = 25.0) -> No
     ax.set_ylim([0, 1.2])
     ax.legend()
     fig.tight_layout()
-    os.makedirs(os.path.dirname(save_path), exist_ok=True)
+    os.makedirs(os.path.dirname(save_path) or ".", exist_ok=True)
     fig.savefig(save_path, dpi=100)
     plt.close(fig)

@@ -36,12 +36,15 @@ def format_cols(df: pd.DataFrame) -> pd.DataFrame:
         df[["vt_veg_b", "vt_veg_moy", "vt_veg_h"]] = (
             df[["vt_veg_b", "vt_veg_moy", "vt_veg_h"]].astype(float) / 100
         )
-    if not pd.api.types.is_numeric_dtype(df["pred_veg_b"]):
-        if df["pred_veg_b"].astype(str).str.contains("%").any():
-            for c in ("pred_veg_b", "pred_veg_moy", "pred_veg_h"):
-                df[c] = df[c].map(lambda x: float(str(x).replace("%", "")) / 100)
+    # per-column: a mixed file (one percent-string column, two numeric-ratio
+    # columns) must not get its numeric columns divided by 100 again
+    for c in ("pred_veg_b", "pred_veg_moy", "pred_veg_h"):
+        if pd.api.types.is_numeric_dtype(df[c]):
+            continue
+        if df[c].astype(str).str.contains("%").any():
+            df[c] = df[c].map(lambda x: float(str(x).replace("%", "")) / 100)
         else:
-            sys.exit("ERROR: UNKNOWN CASE")
+            sys.exit(f"ERROR: UNKNOWN CASE (non-numeric column {c} without %)")
     return df
 
 

@@ -41,25 +41,22 @@ def _closest_center_idx(y: float) -> int:
     return int(np.argmin(np.abs(bins_centers - y)))
 
 
+# percent-scale wrappers over the single 0-1-scale indicator definitions in
+# learning/metrics.py (one source of truth for the inclusive-border logic)
 def mae_pc(y_pred: float, y: float) -> float:
     return abs(y_pred - y)
 
 
 def mae2_pc(y_pred: float, y: float) -> float:
-    lo, hi = center_to_border[y]
-    if lo <= y_pred <= hi:
-        return 0.0
-    return min(abs(lo - y_pred), abs(hi - y_pred))
+    return float(_M.mae2(y_pred / 100.0, y / 100.0)) * 100.0
 
 
 def acc_pc(y_pred: float, y: float) -> float:
-    lo, hi = center_to_border[y]
-    return 1.0 if lo <= y_pred <= hi else 0.0
+    return float(_M.accuracy(y_pred / 100.0, y / 100.0))
 
 
 def acc2_pc(y_pred: float, y: float, margin: float = 10.0) -> float:
-    lo, hi = center_to_border[y]
-    return 1.0 if lo - margin <= y_pred <= hi + margin else 0.0
+    return float(_M.accuracy2(y_pred / 100.0, y / 100.0, margin=margin / 100.0))
 
 
 ERROR_FUNCS: Dict[str, Callable] = {
@@ -86,8 +83,26 @@ def study_quantification_error_1(df: pd.DataFrame = None, output_fig_path: str =
         g = df[["vt_veg_b", "vt_veg_moy", "vt_veg_h"]].astype(float).copy()
         if g.values.max() <= 1:
             g *= 100
-        realized = g.round(0).replace(mapper).values.mean()
-        print(f"Actual error due to quantization: {realized}")
+        vals = g.values.ravel()
+        rounded = np.round(vals)
+        on_grid = np.isin(rounded, bins_centers)
+        if on_grid.all():
+            # GTs are class centers: report each class's expected error
+            # under the uniform hypothesis (the reference's computation)
+            realized = np.array([mapper[int(v)] for v in rounded]).mean()
+            print(f"Actual error due to quantization: {realized}")
+        else:
+            # continuous GTs (predictions_analysis supports these): the
+            # center-keyed mapper does not apply — report the direct
+            # per-value quantization error instead of silently averaging
+            # raw unmapped percentages
+            quant = bins_centers[np.digitize(vals, bins_borders)]
+            realized = np.abs(vals - quant).mean()
+            print(
+                f"Actual error due to quantization: {realized.round(2)} "
+                f"({(~on_grid).sum()}/{vals.size} GT values are continuous; "
+                "computed as |gt - quantized(gt)|)"
+            )
 
     if output_fig_path:
         import matplotlib
@@ -103,7 +118,7 @@ def study_quantification_error_1(df: pd.DataFrame = None, output_fig_path: str =
         plt.xlabel("coverage (%)")
         plt.legend()
         plt.tight_layout()
-        os.makedirs(os.path.dirname(output_fig_path), exist_ok=True)
+        os.makedirs(os.path.dirname(output_fig_path) or ".", exist_ok=True)
         plt.savefig(output_fig_path, dpi=150, transparent=True)
         plt.close()
     return mapper
@@ -126,7 +141,7 @@ def describe_possible_measurement_error_distribution(
         columns=[f"sigma={s:.1f}" for s in stdev_list],
     ).round(2)
     if out_path:
-        os.makedirs(os.path.dirname(out_path), exist_ok=True)
+        os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
         df.to_csv(out_path)
     return df
 
@@ -147,13 +162,18 @@ def expected_error_under_measurement_noise(
             measured = np.clip(real + deltas, 0, 100)
             inside = (lo <= measured) & (measured <= hi)
             # label assigned when the noisy measurement leaves the class:
-            # the *second*-closest center to the measurement (:200-207)
-            err = np.empty_like(measured)
-            err[inside] = error_func(real, center)
-            out_idx = np.where(~inside)[0]
-            for i in out_idx:
-                order = np.argsort(np.abs(bins_centers - measured[i]))
-                err[i] = error_func(real, float(bins_centers[order[1]]))
+            # the *second*-closest center to the measurement (:200-207).
+            # error_func only sees the 8 possible centers — evaluate it
+            # once per center and gather, instead of per delta
+            second = np.argsort(
+                np.abs(bins_centers[None, :] - measured[:, None]), axis=1
+            )[:, 1]
+            err_by_center = np.array(
+                [error_func(real, int(c)) for c in bins_centers]
+            )
+            err = np.where(
+                inside, error_func(real, center), err_by_center[second]
+            )
             all_errors.append(float((w * err).sum() / W))
     return float(np.round(np.mean(all_errors), 2))
 
@@ -172,7 +192,7 @@ def all_expected_errors(
         rows, index=[f"sigma={s:.1f}" for s in stdev_list]
     ).T.round(2)
     if out_path:
-        os.makedirs(os.path.dirname(out_path), exist_ok=True)
+        os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
         df.to_csv(out_path)
     return df
 

@@ -242,10 +242,12 @@ def read_events(path: str):
                 break
             (length,) = struct.unpack("<Q", header)
             (hcrc,) = struct.unpack("<I", f.read(4))
-            assert hcrc == _masked_crc(header), "header crc mismatch"
+            if hcrc != _masked_crc(header):  # not assert: -O must not skip
+                raise ValueError("tfevents header crc mismatch")
             payload = f.read(length)
             (pcrc,) = struct.unpack("<I", f.read(4))
-            assert pcrc == _masked_crc(payload), "payload crc mismatch"
+            if pcrc != _masked_crc(payload):
+                raise ValueError("tfevents payload crc mismatch")
             out.append(_parse_event(payload))
     return [e for e in out if e is not None]
 
