@@ -40,13 +40,17 @@ def load_las_file(filename: str) -> np.ndarray:
     """LAS -> (10, N) float32 feature-major cloud in meters
     (utils/load_data.py:149-184)."""
     las = read_las(filename)
+    # float64: absolute Lambert-93 coordinates (y ~ 6.5e6 m) have only
+    # 0.5 m float32 spacing — quantizing before centering would put up to
+    # ~0.25 m of error on every relative coordinate and geotransform
+    # origin. float32 conversion happens after centering (transforms).
     cloud = np.asarray(
         [
             las.x, las.y, las.z,
             las.red, las.green, las.blue, las.nir,
             las.intensity, las.return_num, las.num_returns,
         ],
-        dtype=np.float32,
+        dtype=np.float64,
     )
     return cloud
 
@@ -71,7 +75,7 @@ def get_plot_center(cloud: np.ndarray) -> np.ndarray:
             (cloud[0].max() + cloud[0].min()) / 2.0,
             (cloud[1].max() + cloud[1].min()) / 2.0,
         ],
-        dtype=np.float32,
+        dtype=np.float64,
     )
 
 

@@ -99,8 +99,10 @@ def build_device_dataset(
     prepared = []
     for pid in plot_ids:
         data = dataset[pid]
-        cloud = np.asarray(data["cloud"], np.float32)
-        cloud = center_cloud(cloud, data["plot_center"])
+        # center in float64 like the host loader (absolute coords lose
+        # ~0.25 m in float32), then drop to float32 for the device table
+        cloud = np.asarray(data["cloud"], np.float64)
+        cloud = center_cloud(cloud, data["plot_center"]).astype(np.float32)
         cloud = add_fake_empty_ground_points(
             cloud, mcfg.diam_meters, mcfg.n_input_feats
         )

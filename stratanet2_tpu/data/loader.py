@@ -74,8 +74,17 @@ class PlotLoader:
             ),
         }
         covs = [it["coverages"] for it in items]
-        if all(c.size == 4 for c in covs):
+        with_gt = sum(c.size == 4 for c in covs)
+        if with_gt == len(covs):
             batch["coverages"] = np.stack(covs).astype(np.float32)
+        elif with_gt:  # fail loudly NOW, naming the plots — silently
+            # omitting the key would surface as a bare KeyError at a
+            # shuffle-dependent step deep inside train_one_epoch
+            bad = [it["plot_id"] for it in items if it["coverages"].size != 4]
+            raise ValueError(
+                f"batch mixes plots with and without 4-value coverages "
+                f"(malformed GT for {bad[:5]})"
+            )
         return batch
 
     def __iter__(self) -> Iterator[Dict]:

@@ -230,9 +230,11 @@ def load_cloud_item(
       cloud (N, 10) rescaled features, xyz (N, 3) centered meters,
       coverages (4,) GT or empty.
     """
-    cloud = np.asarray(cloud_data["cloud"], np.float32)
+    # center in float64 (absolute Lambert-93 coords lose ~0.25 m in
+    # float32); the return casts to float32 once coordinates are relative
+    cloud = np.asarray(cloud_data["cloud"], np.float64)
     n_original = cloud.shape[1]  # before fake points / subsampling
-    cloud = center_cloud(cloud, cloud_data["plot_center"])
+    cloud = center_cloud(cloud, cloud_data["plot_center"]).astype(np.float32)
     cloud = add_fake_empty_ground_points(
         cloud, model_cfg.diam_meters, model_cfg.n_input_feats
     )
@@ -249,6 +251,8 @@ def load_cloud_item(
         "xyz": xyz.T.astype(np.float32),  # (N, 3)
         "coverages": coverages,
         "plot_id": cloud_data["plot_id"],
-        "plot_center": np.asarray(cloud_data["plot_center"], np.float32),
+        # float64: host-side metadata only (geotransform origins); a
+        # float32 absolute center would re-introduce the 0.5 m grid
+        "plot_center": np.asarray(cloud_data["plot_center"], np.float64),
         "N_points_in_cloud": cloud_data.get("N_points_in_cloud", n_original),
     }

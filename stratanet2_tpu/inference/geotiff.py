@@ -160,13 +160,18 @@ def write_geotiff(
             if len(raw) % 2:
                 overflow += b"\0"
 
-    with open(path, "wb") as f:
+    # atomic write: merged parcel tifs double as the inference worklist's
+    # done-markers (utils/worklist.py matches by stem), so a crash mid-write
+    # must not leave a truncated file that marks the parcel done forever
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
         f.write(struct.pack("<2sHI", b"II", 42, ifd_start))
         f.write(struct.pack("<H", n_entries))
         f.write(b"".join(packed_entries))
         f.write(struct.pack("<I", 0))  # next IFD
         f.write(bytes(overflow))
         f.write(bands.tobytes())
+    os.replace(tmp, path)
 
 
 def read_geotiff(path: str) -> GeoTiff:

@@ -50,11 +50,13 @@ def get_plot_centers(
     start_x = x_min + step / 4
     start_y = y_min + step / 4
 
-    centers = [np.array([start_x, start_y], np.float32)]
+    # float64: absolute Lambert-93 coordinates (float32 has 0.5 m spacing
+    # at y ~ 6.5e6, which would shift disk extractions and geotransforms)
+    centers = [np.array([start_x, start_y], np.float64)]
     for ix in range(nx):
         for iy in range(ny):
             centers.append(
-                np.array([start_x + ix * step, start_y + iy * step], np.float32)
+                np.array([start_x + ix * step, start_y + iy * step], np.float64)
             )
     pts = np.stack(centers)
     keep = keep_points_in_shape(
@@ -114,9 +116,11 @@ def extract_plots_from_parcel(
         queries = [
             indices[offsets[q] : offsets[q + 1]] for q in range(len(centers_arr))
         ]
-    else:
+    elif len(centers_arr):
         tree = cKDTree(xy, leafsize=50)
         queries = [tree.query_ball_point(c, r=radius) for c in plot_centers]
+    else:  # zero centers: skip the (potentially multi-second) tree build
+        queries = []
 
     plots: Dict[str, Dict] = {}
     min_points = cfg.data.min_points_per_plot  # prepare_utils.py:67-69
@@ -128,7 +132,7 @@ def extract_plots_from_parcel(
         plot_id = define_plot_id(idx, center)
         plots[plot_id] = {
             "cloud": cloud,
-            "plot_center": np.asarray(center, np.float32),
+            "plot_center": np.asarray(center, np.float64),
             "plot_id": plot_id,
             "index": idx,
             "N_points_in_cloud": cloud.shape[1],

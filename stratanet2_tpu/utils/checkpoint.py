@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import os
 import pickle
+import re
 from typing import Any, Dict, Optional
 
 import jax
@@ -66,8 +67,13 @@ def find_checkpoint_by_experiment(experiments_path: str, experiment_id: str) -> 
         raise FileNotFoundError(
             f"no checkpoint for experiment {experiment_id} under {experiments_path}"
         )
-    full = [m for m in matches if "full" in os.path.basename(m)]
+    full = sorted(m for m in matches if "full" in os.path.basename(m))
     if full:
         return full[0]
-    fold1 = [m for m in matches if "fold_n=1" in os.path.basename(m)]
+    # exact fold-1 match: a bare substring test would also hit
+    # fold_n=10..19, and os.walk order is filesystem-dependent
+    fold1 = sorted(
+        m for m in matches
+        if re.search(r"fold_n=1(?!\d)", os.path.basename(m))
+    )
     return (fold1 or sorted(matches))[0]

@@ -16,16 +16,26 @@ import os
 import sys
 import time
 from contextlib import contextmanager
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Any, Dict, Optional
 
 
 def setup_experiment_folder(experiments_path: str, task: str, mode: str) -> str:
-    """experiments/{task}/{mode}/{timestamp}/ (utils/utils.py:49-62)."""
+    """experiments/{task}/{mode}/{timestamp}/ (utils/utils.py:49-62).
+
+    Timestamps have second resolution; two workers of a concurrent fleet
+    (the worklist design supports them) starting in the same second must
+    not share a folder — uniquify with a suffix instead of exist_ok."""
     run_name = time.strftime("%Y-%m-%d_%Hh%Mm%Ss")
-    stats_path = os.path.join(experiments_path, task, mode, run_name)
-    os.makedirs(stats_path, exist_ok=True)
-    return stats_path
+    for attempt in range(100):
+        suffix = "" if attempt == 0 else f"_{attempt + 1}"
+        stats_path = os.path.join(experiments_path, task, mode, run_name + suffix)
+        try:
+            os.makedirs(stats_path, exist_ok=False)
+            return stats_path
+        except FileExistsError:
+            continue
+    raise FileExistsError(f"cannot create a unique run folder at {stats_path}")
 
 
 def enable_compilation_cache(cache_dir: Optional[str] = None) -> None:

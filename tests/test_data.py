@@ -174,6 +174,53 @@ class TestItemPipeline:
         # cloud xy is rescaled /10
         assert np.abs(item["cloud"][:, :2]).max() < 1.2
 
+    def test_absolute_lambert93_coords_center_exactly(self, rng):
+        """Absolute Lambert-93 coordinates (y ~ 6.5e6 m: float32 spacing
+        0.5 m) must be centered in float64 — relative coordinates come out
+        exact, not quantized to a 0.5 m grid."""
+        from tests.synthetic import tiny_config
+
+        import dataclasses
+
+        cfg = tiny_config()
+        n = 256
+        # subsample larger than n + fake points so no original is dropped
+        mcfg = dataclasses.replace(cfg.model, subsample_size=2048)
+        rel = rng.uniform(-9, 9, (2, n))
+        cloud = np.zeros((10, n), np.float64)
+        cloud[0] = 368000.0 + rel[0]  # typical French easting
+        cloud[1] = 6505000.0 + rel[1]  # northing in the 0.5m-spacing zone
+        cloud[2] = rng.uniform(0.5, 5, n)  # fake ground points sit at z=0
+        data = {
+            "cloud": cloud,
+            "plot_center": np.array([368000.0, 6505000.0]),
+            "plot_id": "PP_ABS",
+            "coverages": np.empty(0),
+        }
+        item = transforms.load_cloud_item(
+            data, mcfg, train=False, rng=np.random.default_rng(0)
+        )
+        got = item["xyz"][item["xyz"][:, 2] > 1e-9, :2]  # real points only
+        want = rel.T.astype(np.float32)
+        # every retained relative coordinate must match an original to
+        # float32 roundoff (~1e-6), not the 0.25 m absolute-coord grid the
+        # old float32-before-centering path produced
+        d = np.abs(got[:, None, :] - want[None, :, :]).sum(-1).min(1)
+        assert d.max() < 1e-4, d.max()
+
+    def test_collate_mixed_coverages_fails_loudly(self):
+        from tests.synthetic import make_plot_dataset, tiny_config
+        from stratanet2_tpu.data.loader import PlotLoader
+
+        cfg = tiny_config()
+        ds = make_plot_dataset(np.random.default_rng(0), n_plots=4)
+        ids = sorted(ds)
+        ds[ids[2]]["coverages"] = np.empty(0)  # one plot loses its GT
+        loader = PlotLoader(ds, cfg, plot_ids=ids, train=False, batch_size=4, seed=0)
+        with pytest.raises(ValueError, match=ids[2]):
+            for _ in loader:
+                pass
+
 
 class TestTransferDtype:
     def test_float16_transfer_roundtrip(self):

@@ -99,6 +99,37 @@ class TestCheckpoint:
             str(tmp_path / "experiments"), "2026-01-01_00h00m00s"
         ) == pf
 
+    def test_fold1_preference_not_fooled_by_fold_10(self, tmp_path):
+        """'fold_n=1' must match exactly — not fold_n=10..19 — regardless
+        of directory enumeration order (>=10-fold CV)."""
+        import jax.numpy as jnp
+
+        from stratanet2_tpu.utils import checkpoint as C
+
+        run = tmp_path / "exp" / "learning" / "PROD" / "2026-02-02_00h00m00s"
+        run.mkdir(parents=True)
+        params, state = {"w": jnp.ones(2)}, {}
+        # write fold 12 and 10 BEFORE fold 1 so os.walk's file order
+        # cannot accidentally put fold 1 first
+        for k in (12, 10, 1, 3):
+            C.save_checkpoint(str(run / C.checkpoint_name(k)), params, state)
+        found = C.find_checkpoint_by_experiment(
+            str(tmp_path / "exp"), "2026-02-02_00h00m00s"
+        )
+        assert found.endswith("PCC_model_fold_n=1.pt"), found
+
+
+class TestExperimentFolder:
+    def test_same_second_runs_get_distinct_folders(self, tmp_path):
+        from stratanet2_tpu.utils.experiment import setup_experiment_folder
+
+        a = setup_experiment_folder(str(tmp_path), "learning", "PROD")
+        b = setup_experiment_folder(str(tmp_path), "learning", "PROD")
+        c = setup_experiment_folder(str(tmp_path), "learning", "PROD")
+        assert len({a, b, c}) == 3
+        for p in (a, b, c):
+            assert os.path.isdir(p)
+
 
 class TestMetricSink:
     def test_jsonl_contexts(self, tmp_path):
