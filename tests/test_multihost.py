@@ -25,21 +25,22 @@ jax.config.update("jax_platforms", "cpu")
 from stratanet2_tpu.parallel import multihost
 from stratanet2_tpu.utils.worklist import get_unprocessed_files
 
+NPROC = int(os.environ["NPROC"])
 if os.environ.get("USE_ENV") == "1":
     # env-var launch path: JAX_* vars must be forwarded into
     # jax.distributed.initialize by multihost.initialize itself
     os.environ["JAX_COORDINATOR_ADDRESS"] = os.environ["COORD"]
-    os.environ["JAX_NUM_PROCESSES"] = "2"
+    os.environ["JAX_NUM_PROCESSES"] = str(NPROC)
     os.environ["JAX_PROCESS_ID"] = os.environ["PID"]
     pid, n = multihost.initialize()
 else:
     pid, n = multihost.initialize(
         coordinator_address=os.environ["COORD"],
-        num_processes=2,
+        num_processes=NPROC,
         process_id=int(os.environ["PID"]),
     )
-assert n == 2, f"process_count={n}"
-assert jax.device_count() == 2 * jax.local_device_count()
+assert n == NPROC, f"process_count={n}"
+assert jax.device_count() == NPROC * jax.local_device_count()
 
 sl = multihost.host_batch_slice(8)
 work = get_unprocessed_files(os.environ["WORK_IN"], os.environ["WORK_OUT"],
@@ -54,9 +55,9 @@ print("RESULT " + json.dumps({
 
 class TestMultihost:
     @pytest.mark.skipif(sys.platform != "linux", reason="local coordinator")
-    @pytest.mark.parametrize("use_env", [False, True],
-                             ids=["explicit-args", "env-vars"])
-    def test_two_process_initialize(self, tmp_path, use_env):
+    @pytest.mark.parametrize("nproc,use_env", [(2, False), (2, True), (4, False)],
+                             ids=["explicit-args", "env-vars", "4-process"])
+    def test_multi_process_initialize(self, tmp_path, nproc, use_env):
         repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
         # free port for the coordinator
         with socket.socket() as s:
@@ -86,13 +87,14 @@ class TestMultihost:
                 "WORK_IN": str(work_in),
                 "WORK_OUT": str(work_out),
                 "USE_ENV": "1" if use_env else "0",
+                "NPROC": str(nproc),
             }
         )
         for k in ("JAX_COORDINATOR_ADDRESS", "JAX_NUM_PROCESSES",
                   "JAX_PROCESS_ID"):
             env_base.pop(k, None)
         procs = []
-        for pid in range(2):
+        for pid in range(nproc):
             env = dict(env_base, PID=str(pid))
             procs.append(
                 subprocess.Popen(
@@ -113,15 +115,20 @@ class TestMultihost:
             rec = json.loads(line[len("RESULT "):])
             results[rec["pid"]] = rec
 
-        assert set(results) == {0, 1}
-        # host batch slices cover [0, 8) disjointly
-        s0, s1 = results[0]["slice"], results[1]["slice"]
-        assert s0 == [0, 4] and s1 == [4, 8]
+        assert set(results) == set(range(nproc))
+        # host batch slices partition [0, 8) in pid order, equally sized
+        per = 8 // nproc
+        for pid in range(nproc):
+            assert results[pid]["slice"] == [pid * per, (pid + 1) * per]
         # crc32 worklist shards are disjoint and exhaustive over the todo set
-        w0, w1 = set(results[0]["work"]), set(results[1]["work"])
-        assert not (w0 & w1), f"overlap: {w0 & w1}"
+        shards = [set(results[pid]["work"]) for pid in range(nproc)]
+        for a in range(nproc):
+            for b in range(a + 1, nproc):
+                assert not (shards[a] & shards[b]), (
+                    f"overlap {a}/{b}: {shards[a] & shards[b]}"
+                )
         todo = {n for n in names if n != "parcel_000.las"}
-        assert {os.path.splitext(n)[0] for n in (w0 | w1)} == {
+        assert {os.path.splitext(n)[0] for s in shards for n in s} == {
             os.path.splitext(n)[0] for n in todo
         }
-        assert w0 and w1  # both hosts got work
+        assert all(shards)  # every host got work (20 files, <=4 hosts)
