@@ -188,6 +188,24 @@ def _fail_fast(error: str) -> None:
     sys.exit(1)
 
 
+#: Substrings that identify a *kernel compile* failure (Mosaic scoped-VMEM
+#: overflow etc.) as opposed to a dead/flaky relay ("UNAVAILABLE",
+#: "DEADLINE_EXCEEDED"). Only the former is worth retrying with smaller
+#: tile budgets — retrying a dead relay would just hang.
+_COMPILE_FAILURE_MARKERS = (
+    "RESOURCE_EXHAUSTED", "Mosaic", "mosaic", "vmem", "VMEM",
+    "scoped", "exceeds available", "INTERNAL: Failed to compile",
+)
+
+#: Conservative kernel tile budgets for the retry (bytes). Roughly 30%
+#: below the calibrated defaults (ops/pallas_kernels.py) — small enough to
+#: survive a liveness-analysis surprise, large enough to stay measurable.
+_RETRY_BUDGET_ENV = {
+    "STRATANET2_KNN_TC_BUDGET": "9000000",
+    "STRATANET2_BQ_BLOCK_BUDGET": str(4 * 2**20),
+}
+
+
 def main():
     # Bounded backend liveness probe BEFORE any in-process backend init:
     # jax.devices()/default_backend() on a wedged axon relay hangs forever
@@ -200,7 +218,34 @@ def main():
     try:
         _run(probe)
     except Exception as e:  # late failure (e.g. relay died mid-bench)
-        _fail_fast(f"bench failed after successful probe: {type(e).__name__}: {e}")
+        msg = f"{type(e).__name__}: {e}"
+        if "--no-retry" not in sys.argv and any(
+            m in msg for m in _COMPILE_FAILURE_MARKERS
+        ):
+            # A kernel failed to compile (e.g. a Mosaic scoped-vmem reject of
+            # a tile-budget calibration that was only ever CPU-validated).
+            # Re-probe, then retry ONCE in a fresh process with conservative
+            # budgets: a fresh process re-reads the env knobs (jit trace
+            # caches in this process latched the old values) and keeps the
+            # "one JSON line on stdout" contract (the child's line is ours).
+            # No parent-side timeout: killing a child mid-first-compile can
+            # wedge the relay (CLAUDE.md); the driver's own bound governs.
+            reprobe = probe_backend(timeout_s=60.0)
+            if reprobe.ok:
+                import os
+                import subprocess
+
+                print(f"retrying with reduced tile budgets after: {msg}",
+                      file=sys.stderr)
+                env = dict(os.environ, **_RETRY_BUDGET_ENV)
+                args = [a for a in sys.argv[1:] if a != "--no-retry"]
+                r = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__), "--no-retry", *args],
+                    env=env, stdout=subprocess.PIPE, text=True,
+                )
+                sys.stdout.write(r.stdout)
+                sys.exit(r.returncode)
+        _fail_fast(f"bench failed after successful probe: {msg}")
 
 
 def _run(probe):

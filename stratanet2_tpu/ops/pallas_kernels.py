@@ -808,8 +808,12 @@ def ball_query_grouped_pallas(
     xt9 = _hilo9_rows(xt)
     pn = jnp.sum(xt * xt, axis=1, keepdims=True)  # (B, 1, K*G) f32
     # halved budget: the kernel's cross-block software pipeline keeps TWO
-    # (blk*G, CC) f32 distance tiles live (current + prefetched next)
-    blk = _group_blocks(k, g, budget=6 * 2**20)
+    # (blk*G, CC) f32 distance tiles live (current + prefetched next).
+    # STRATANET2_BQ_BLOCK_BUDGET overrides (bytes) — bench.py's compile
+    # -failure retry path shrinks it if Mosaic rejects the default.
+    blk = _group_blocks(
+        k, g, budget=int(os.environ.get("STRATANET2_BQ_BLOCK_BUDGET", 6 * 2**20))
+    )
     nb = k // blk
     xt9 = xt9.reshape(b, 9, nb, blk * g).swapaxes(1, 2)  # (B, nb, 9, blk*G)
     pn = pn.reshape(b, 1, nb, blk * g).swapaxes(1, 2)

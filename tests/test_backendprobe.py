@@ -142,6 +142,68 @@ def test_bench_fails_fast_with_one_json_line_on_dead_backend():
     assert "unavailable" in doc["error"]
 
 
+def test_bench_retries_compile_failure_with_reduced_budgets(monkeypatch, capsys):
+    """A Mosaic/VMEM *compile* failure after a healthy probe retries ONCE in
+    a fresh subprocess with conservative kernel tile budgets; the child's
+    stdout (its single JSON line) becomes ours and its rc propagates. A
+    non-compile failure (dead relay mid-bench) must NOT retry."""
+    sys.path.insert(0, REPO)
+    import bench
+
+    ok = bp.ProbeResult(ok=True, platform="tpu", n_devices=1, error=None)
+    monkeypatch.setattr(bp, "probe_backend", lambda timeout_s=0: ok)
+    calls = {}
+
+    def fake_run(cmd, env=None, stdout=None, text=None):
+        calls["cmd"], calls["env"] = cmd, env
+
+        class R:
+            returncode = 0
+            stdout = '{"metric": "m", "value": 1.0}\n'
+
+        return R()
+
+    monkeypatch.setattr(subprocess, "run", fake_run)
+    monkeypatch.setattr(
+        bench, "_run",
+        lambda probe: (_ for _ in ()).throw(
+            RuntimeError("Mosaic failed: scoped vmem limit exceeded")
+        ),
+    )
+    with pytest.raises(SystemExit) as ei:
+        bench.main()
+    assert ei.value.code == 0
+    assert "--no-retry" in calls["cmd"]
+    assert calls["env"]["STRATANET2_KNN_TC_BUDGET"] == "9000000"
+    assert calls["env"]["STRATANET2_BQ_BLOCK_BUDGET"] == str(4 * 2**20)
+    assert capsys.readouterr().out == '{"metric": "m", "value": 1.0}\n'
+
+    # non-compile failure: no subprocess, single error JSON line, rc=1
+    calls.clear()
+    monkeypatch.setattr(
+        bench, "_run",
+        lambda probe: (_ for _ in ()).throw(RuntimeError("UNAVAILABLE: relay died")),
+    )
+    with pytest.raises(SystemExit) as ei:
+        bench.main()
+    assert ei.value.code == 1
+    assert not calls  # did not retry
+    doc = json.loads(capsys.readouterr().out.strip())
+    assert "UNAVAILABLE" in doc["error"]
+
+    # --no-retry guard: a compile failure with the flag set must fail fast
+    monkeypatch.setattr(sys, "argv", ["bench.py", "--no-retry"])
+    monkeypatch.setattr(
+        bench, "_run",
+        lambda probe: (_ for _ in ()).throw(RuntimeError("Mosaic vmem")),
+    )
+    with pytest.raises(SystemExit) as ei:
+        bench.main()
+    assert ei.value.code == 1
+    assert not calls
+    assert "Mosaic" in json.loads(capsys.readouterr().out.strip())["error"]
+
+
 def test_dryrun_multichip_never_queries_axon_inprocess():
     """dryrun_multichip with the axon platform resolved and no initialized
     backend must go straight to the forced-CPU subprocess (no hang). Run it
