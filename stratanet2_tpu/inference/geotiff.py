@@ -183,6 +183,12 @@ def read_geotiff(path: str) -> GeoTiff:
     tags: Dict[int, tuple] = {}
     for i in range(n):
         tag, t, cnt = struct.unpack_from("<HHI", raw, ifd_off + 2 + i * 12)
+        if t != TYPE_ASCII and t not in _TYPE_FMT:
+            # tags of types this reader doesn't decode (RATIONAL
+            # XResolution from a Pillow/QGIS re-save, BYTE blobs, ...) are
+            # irrelevant to the band data — skip them instead of KeyError'ing
+            # the whole mosaic/predict run on an interoperable file
+            continue
         voff = ifd_off + 2 + i * 12 + 8
         sz = _TYPE_SIZE.get(t, 1) * cnt
         if sz > 4:

@@ -126,7 +126,12 @@ def _read_dbf(path: str) -> Tuple[List[FieldSpec], List[Dict[str, object]]]:
                 try:
                     rec[fs.name] = float(sval) if (fs.decimals or fs.ftype == "F") else int(sval)
                 except ValueError:
-                    rec[fs.name] = None
+                    # other GIS tools store '715.0' in N/decimals=0 columns;
+                    # pyshp (which this replaces) parses those via float
+                    try:
+                        rec[fs.name] = int(float(sval))
+                    except ValueError:
+                        rec[fs.name] = None
             else:
                 rec[fs.name] = sval
             cpos += fs.length

@@ -216,7 +216,8 @@ def _finalize_evaluate(
         out_dir = os.path.join(stats_path, "img", "confusion_matrices")
         try:
             M.log_confusion_matrices(
-                df, out_dir, normalize=cfg.normalize_cm, fold_id=fold_id, epoch=epoch
+                df, out_dir, normalize=cfg.normalize_cm, fold_id=fold_id,
+                epoch=epoch, qualified=True,
             )
         except Exception as err:  # figures must never kill training
             logger.warning("confusion matrix logging failed: %s", err)

@@ -216,11 +216,19 @@ def log_confusion_matrices(
     name_prefix: str = "confusion",
     fold_id: int = 0,
     epoch: int = 0,
+    qualified: bool = False,
 ) -> None:
+    """``qualified=True`` appends fold/epoch to the filename. The reference
+    uses a fold/epoch-free filename too (accuracy.py:294-309) but ALSO logs
+    every save to Comet keyed by epoch — with a file-only sink, the bare
+    name means every fold/epoch silently overwrites the previous matrices.
+    Offline metascripts (one-shot, no fold) keep the bare reference name."""
     for s in STRATA:
         cm = compute_confusion_matrix(df, s, normalize=normalize)
+        stem = f"{name_prefix}_{normalize}_{s}"
+        fname = f"{stem}_fold_{fold_id}_ep_{epoch}.png" if qualified else f"{stem}.png"
         save_confusion_matrix_png(
             cm,
-            os.path.join(out_dir, f"{name_prefix}_{normalize}_{s}.png"),
-            title=f"{name_prefix}_{normalize}_{s} [N={len(df)}]\n(fold={fold_id}|epoch={epoch})",
+            os.path.join(out_dir, fname),
+            title=f"{stem} [N={len(df)}]\n(fold={fold_id}|epoch={epoch})",
         )

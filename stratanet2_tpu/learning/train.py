@@ -243,10 +243,12 @@ def train_one_epoch(
     if acc is None:
         # empty epoch (fewer train plots than batch_size): report zeroed
         # loss keys so downstream logging (print_epoch_losses, fold stats)
-        # sees the same schema as a real epoch instead of KeyError'ing
-        from stratanet2_tpu.learning.evaluate import LOSS_KEYS
-
-        sums = {k: 0.0 for k in LOSS_KEYS}
+        # sees the same schema as a real epoch instead of KeyError'ing.
+        # Must be the TRAIN schema (losses.total_loss comps), not eval's
+        # LOSS_KEYS — mixing schemas across folds pollutes the cross-fold
+        # DataFrame with spurious MAE_veg_* columns and drops entropy_loss
+        sums = {k: 0.0 for k in
+                ("total_loss", "MAE_loss", "log_loss", "entropy_loss")}
     else:
         sums = jax.device_get(acc)
     means = {k: float(v) / max(n, 1) for k, v in sums.items()}

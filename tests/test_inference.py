@@ -159,6 +159,59 @@ class TestIOEdgeCases:
         with pytest.raises(ValueError):
             read_las(str(p))
 
+    def test_geotiff_reader_skips_unknown_tag_types(self, tmp_path, rng):
+        """A tif re-saved by Pillow/QGIS/gdal_translate can gain tags of
+        types this reader doesn't decode (RATIONAL XResolution, BYTE blobs).
+        They are irrelevant to the bands and must be skipped, not KeyError
+        the whole mosaic run."""
+        import struct
+
+        h, w = 3, 4
+        band = rng.uniform(0, 1, (h, w)).astype(np.float32)
+        # minimal single-strip TIFF, all entry values inline, PLUS a
+        # RATIONAL (type 5) XResolution whose value offset dangles — the
+        # reader must skip it before ever dereferencing
+        entries = [
+            (256, 3, 1, w), (257, 3, 1, h), (258, 3, 1, 32), (259, 3, 1, 1),
+            (262, 3, 1, 1),
+            (282, 5, 1, 8),       # XResolution, RATIONAL, dangling offset
+            (277, 3, 1, 1), (278, 3, 1, h),
+            (339, 3, 1, 3),
+        ]
+        n = len(entries) + 2  # + StripOffsets/StripByteCounts
+        ifd_start = 8
+        data_start = ifd_start + 2 + n * 12 + 4
+        entries += [(273, 4, 1, data_start), (279, 4, 1, band.nbytes)]
+        buf = struct.pack("<2sHI", b"II", 42, ifd_start)
+        buf += struct.pack("<H", n)
+        for tag, t, cnt, val in sorted(entries):
+            buf += struct.pack("<HHII", tag, t, cnt, val)
+        buf += struct.pack("<I", 0) + band.tobytes()
+        p = tmp_path / "foreign.tif"
+        p.write_bytes(buf)
+        out = G.read_geotiff(str(p))
+        np.testing.assert_array_equal(out.bands[0], band)
+
+    def test_dbf_integer_field_tolerates_decimal_strings(self, tmp_path):
+        """N/decimals=0 columns written by other GIS tools can hold '715.0';
+        pyshp (which shapefile_io replaces) parses those via float — so must
+        we, or get_shape(ID) dies on a valid file."""
+        shp = S.Shapefile(
+            fields=[S.FieldSpec("ID", "N", 10, 0)],
+            shape_records=[S.ShapeRecord(square(0, 0, 10), {"ID": 715})],
+        )
+        p = str(tmp_path / "ids.shp")
+        S.write_shapefile(p, shp)
+        dbf = tmp_path / "ids.dbf"
+        raw = bytearray(dbf.read_bytes())
+        i = raw.find(b"       715")
+        assert i > 0
+        raw[i : i + 10] = b"     715.0"
+        dbf.write_bytes(bytes(raw))
+        out = S.read_shapefile(p)
+        assert out.shape_records[0].record["ID"] == 715
+        assert out.get_shape("715") is not None
+
     def test_shapefile_null_shape_roundtrip(self, tmp_path):
         shp = S.Shapefile(
             fields=[S.FieldSpec("ID", "C", 8)],

@@ -129,6 +129,39 @@ class TestMetrics:
         cm = M.compute_confusion_matrix(df, "veg_b")
         assert cm.shape == (8, 8)
 
+    def test_confusion_pngs_do_not_clobber_across_folds(self, rng, tmp_path):
+        """Training evals pass qualified=True so each fold/epoch keeps its
+        own PNGs (the reference relied on Comet's per-step image log for
+        this; a file-only sink must disambiguate in the name). Offline
+        metascripts keep the bare reference-parity name."""
+        import pandas as pd
+
+        n = 12
+        df = pd.DataFrame(
+            {
+                "pl_id": [f"p{i}" for i in range(n)],
+                **{
+                    f"pred_{s}": rng.uniform(0, 1, n)
+                    for s in ("veg_b", "veg_moy", "veg_h")
+                },
+                **{
+                    f"vt_{s}": M.closest_class_center(rng.uniform(0, 1, n))
+                    for s in ("veg_b", "veg_moy", "veg_h")
+                },
+            }
+        )
+        out = str(tmp_path)
+        M.log_confusion_matrices(df, out, fold_id=1, epoch=50, qualified=True)
+        M.log_confusion_matrices(df, out, fold_id=2, epoch=50, qualified=True)
+        M.log_confusion_matrices(df, out)  # metascript-style bare name
+        import os
+
+        names = sorted(os.listdir(out))
+        for s in ("veg_b", "veg_moy", "veg_h"):
+            assert f"confusion_true_{s}_fold_1_ep_50.png" in names
+            assert f"confusion_true_{s}_fold_2_ep_50.png" in names
+            assert f"confusion_true_{s}.png" in names
+
     def test_continuous_gt_skips_class_indicators(self, rng):
         import pandas as pd
 
@@ -231,18 +264,21 @@ class TestProgramCache:
 
 def test_train_one_epoch_empty_loader_reports_zeroed_losses():
     """Fewer train plots than batch_size -> the drop_last loader yields no
-    batches; the epoch must report the normal loss schema (zeroed) instead
-    of an empty dict that KeyErrors in print_epoch_losses."""
+    batches; the epoch must report the TRAIN loss schema (zeroed) — the
+    same keys losses.total_loss emits on a real epoch, NOT eval's LOSS_KEYS
+    (mixing schemas across folds pollutes the cross-fold DataFrame with
+    spurious MAE_veg_* columns and drops entropy_loss)."""
     import jax
 
-    from stratanet2_tpu.learning.evaluate import LOSS_KEYS
     from stratanet2_tpu.learning.train import train_one_epoch
 
     def no_step(*a):
         raise AssertionError("no batches expected")
 
     ts, means = train_one_epoch(no_step, _fake_ts(), [], jax.random.PRNGKey(0))
-    for k in LOSS_KEYS:
+    train_schema = {"total_loss", "MAE_loss", "log_loss", "entropy_loss"}
+    assert {k for k in means if k not in ("step", "points_per_sec")} == train_schema
+    for k in train_schema:
         assert means[k] == 0.0
     assert means["step"] == 0
 
