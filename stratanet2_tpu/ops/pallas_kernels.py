@@ -376,12 +376,13 @@ def _knn_pallas_raw(x_src, pos_src, pos_tgt, k: int, tc: int = 0):
         # (tc, S) f32 buffers) and the (S, F) feature table. Round-3
         # calibration against the 16 MB scoped-vmem limit: budget 16e6 ->
         # tc=512 at s=2500 (tc=768 OOMs; tc 256->512 cut PROD FP1
-        # 6.6 -> 5.2 ms — per-chunk fixed work dominates). Round 4's
-        # software pipeline keeps ONE MORE live (S, tc) bf16 one-hot
-        # (dot_j's operand survives pass j+1's argmin), so the default
-        # budget drops to 13e6 (tc=384 at s=2500) until re-calibrated on
-        # hardware; STRATANET2_KNN_TC_BUDGET overrides (TPU_PLAYBOOK).
-        budget = int(os.environ.get("STRATANET2_KNN_TC_BUDGET", 13_000_000))
+        # 6.6 -> 5.2 ms — per-chunk fixed work dominates). Round-4 v5e
+        # re-calibration: the software-pipelined kernel's extra live
+        # (S, tc) bf16 one-hot still COMPILES at budget 16e6 / tc=512
+        # (the 3-f32-buffer model has ~17% slack) and runs 3.66 ms at
+        # PROD — the interim 13e6 default (tc=384) measured 4.72 ms, so
+        # 16e6 is restored. STRATANET2_KNN_TC_BUDGET overrides.
+        budget = int(os.environ.get("STRATANET2_KNN_TC_BUDGET", 16_000_000))
         tc = max(128, min(1024, (budget // (s * 4 * 3)) // 128 * 128))
     tc = min(tc, t)
     tpad = _round_up(t, tc)
@@ -760,26 +761,22 @@ def _bq_kernel(k: int, g_real: int, n_valid: int, r2: float, blk: int):
                 mask_acc = jnp.where(here, valid.astype(jnp.int32), mask_acc)
             return idx_acc, mask_acc
 
-        # Cross-block software pipeline (same rationale as _knn_kernel's
-        # k-loop): block bi+1's distance dot (MXU, independent) is issued
-        # BEFORE block bi's min/argmin merges (pure VPU), so the MXU
-        # streams the next tile while the VPU consumes the current one.
-        # The caller halves the block budget so TWO (blk*G, CC) f32 tiles
-        # fit in scoped VMEM. Pure reorder — bit-exact outputs.
+        # Serial dot -> merge loop, ONE live (blk*G, CC) f32 tile so the
+        # full 12 MiB block budget fits. A round-4 cross-block software
+        # pipeline (prefetch dot bi+1 before merging bi, block budget
+        # halved so two tiles fit) MEASURED SLOWER on v5e: 1.96 -> 2.86
+        # ms/step at PROD — Mosaic schedules by dependence, not program
+        # order, so the reorder bought no MXU/VPU overlap while the
+        # halved blk (16 -> 8) doubled the per-dot fixed cost. Reverted;
+        # see docs/KERNELS.md "software pipelining".
         idx0 = jnp.zeros((k, cc), jnp.int32)
         m0 = jnp.zeros((k, cc), jnp.int32)
-        nb = k // blk
 
         def body(bi, carry):
-            idx_acc, mask_acc, ab_t = carry
-            ab_next = dot_block(bi + 1)
-            idx_acc, mask_acc = merge_block(bi, ab_t, idx_acc, mask_acc)
-            return idx_acc, mask_acc, ab_next
+            idx_acc, mask_acc = carry
+            return merge_block(bi, dot_block(bi), idx_acc, mask_acc)
 
-        idx_out, mask_out, ab_last = jax.lax.fori_loop(
-            0, nb - 1, body, (idx0, m0, dot_block(0))
-        )
-        idx_out, mask_out = merge_block(nb - 1, ab_last, idx_out, mask_out)
+        idx_out, mask_out = jax.lax.fori_loop(0, k // blk, body, (idx0, m0))
         idx_ref[0] = idx_out
         mask_ref[0] = mask_out
 
@@ -807,12 +804,12 @@ def ball_query_grouped_pallas(
     xt, g_real, g = _grouped_layout(points, k)
     xt9 = _hilo9_rows(xt)
     pn = jnp.sum(xt * xt, axis=1, keepdims=True)  # (B, 1, K*G) f32
-    # halved budget: the kernel's cross-block software pipeline keeps TWO
-    # (blk*G, CC) f32 distance tiles live (current + prefetched next).
-    # STRATANET2_BQ_BLOCK_BUDGET overrides (bytes) — bench.py's compile
-    # -failure retry path shrinks it if Mosaic rejects the default.
+    # Full 12 MiB block budget (one live (blk*G, CC) f32 distance tile —
+    # the serial kernel loop). STRATANET2_BQ_BLOCK_BUDGET overrides
+    # (bytes) — bench.py's compile-failure retry path shrinks it if
+    # Mosaic rejects the default.
     blk = _group_blocks(
-        k, g, budget=int(os.environ.get("STRATANET2_BQ_BLOCK_BUDGET", 6 * 2**20))
+        k, g, budget=int(os.environ.get("STRATANET2_BQ_BLOCK_BUDGET", 12 * 2**20))
     )
     nb = k // blk
     xt9 = xt9.reshape(b, 9, nb, blk * g).swapaxes(1, 2)  # (B, nb, 9, blk*G)
