@@ -98,13 +98,31 @@ def bench_all():
     gt = jnp.asarray(rng.uniform(0, 1, (bt, 4)), jnp.float32)
     ts, comps = step(ts, cloud, xyz, gt, jax.random.PRNGKey(0))
     float(comps["total_loss"])
-    iters = 8
+    # Chain the steps inside ONE jitted program (lax.scan over per-step
+    # PRNG keys) — this is how the production device-resident epoch runs
+    # (data/device_dataset.py), and per-call dispatch through the axon
+    # relay costs a fluctuating 2-7 ms/step that is relay noise, not
+    # device speed (r4: 8 dispatched steps measured 18.7-23.6 ms/step
+    # against a 16.81 ms device total from the trusted trace).
+    iters = 16
+
+    @jax.jit
+    def chain(ts, cloud, xyz, gt, keys):
+        def body(carry, k):
+            nts, comps = step(carry, cloud, xyz, gt, k)
+            return nts, comps["total_loss"]
+
+        ts, losses = jax.lax.scan(body, ts, keys)
+        return ts, losses[-1]
+
+    keys = jax.random.split(jax.random.PRNGKey(0), iters)
+    ts, last = chain(ts, cloud, xyz, gt, keys)
+    float(last)  # warm
     best = float("inf")
-    for _trial in range(3):  # best-of-3: first burst absorbs warmup
+    for _trial in range(3):  # best-of-3 chained bursts
         t0 = time.perf_counter()
-        for _ in range(iters):
-            ts, comps = step(ts, cloud, xyz, gt, jax.random.PRNGKey(0))
-        float(comps["total_loss"])
+        ts, last = chain(ts, cloud, xyz, gt, keys)
+        float(last)
         best = min(best, time.perf_counter() - t0)
     dt = best
     results.append(

@@ -289,3 +289,61 @@ def _fake_ts():
     from stratanet2_tpu.learning.train import TrainState
 
     return TrainState({}, {}, {}, jnp.asarray(0, jnp.int32))
+
+
+class TestChainedTrainProgram:
+    def test_scan_chained_steps_match_sequential(self, tmp_path):
+        """bench.py config 3 chains train steps inside one lax.scan program
+        (per-call dispatch through the axon relay is 2-7 ms of noise); the
+        chained program must walk the SAME trajectory as sequential jitted
+        step calls."""
+        from dataclasses import replace
+
+        from stratanet2_tpu.config import Config
+        from stratanet2_tpu.learning.kde import fit_kde_mixture
+        from stratanet2_tpu.learning.train import (
+            init_train_state,
+            make_optimizer,
+            make_train_step,
+        )
+
+        cfg = Config(mode="DEV")
+        cfg = replace(
+            cfg,
+            model=replace(cfg.model, subsample_size=128, k1=8, k2=8),
+            train=replace(cfg.train, batch_size=2),
+        )
+        rng = np.random.default_rng(0)
+        b, n = cfg.train.batch_size, cfg.model.subsample_size
+        cloud = jnp.asarray(rng.random((b, n, 10), np.float32))
+        xyz = jnp.asarray(rng.random((b, n, 3), np.float32) * 10.0)
+        gt = jnp.asarray(rng.random((b, 4), np.float32))
+        kde = fit_kde_mixture(rng.uniform(0, 20, 1000))
+        opt = make_optimizer(cfg, steps_per_epoch=4)
+        step = make_train_step(cfg, opt, kde)
+        n_steps = 3
+        keys = jax.random.split(jax.random.PRNGKey(7), n_steps)
+
+        ts_seq = init_train_state(cfg, opt, seed=0)
+        for k in keys:
+            ts_seq, _ = step(ts_seq, cloud, xyz, gt, k)
+
+        @jax.jit
+        def chain(ts, cloud, xyz, gt, keys):
+            def body(carry, k):
+                nts, comps = step(carry, cloud, xyz, gt, k)
+                return nts, comps["total_loss"]
+
+            return jax.lax.scan(body, ts, keys)
+
+        ts_chain, losses = chain(
+            init_train_state(cfg, opt, seed=0), cloud, xyz, gt, keys
+        )
+        assert losses.shape == (n_steps,) and bool(jnp.all(jnp.isfinite(losses)))
+        for a, c in zip(
+            jax.tree_util.tree_leaves(ts_seq.params),
+            jax.tree_util.tree_leaves(ts_chain.params),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(c), rtol=2e-5, atol=2e-6
+            )
