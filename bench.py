@@ -288,7 +288,11 @@ def _run(probe):
     from stratanet2_tpu.models import init_pointnet2, pointnet2_forward
 
     model = init_pointnet2(jax.random.PRNGKey(0), mcfg)
-    batch = 32 if on_tpu else 4
+    # b=128 from the r4 on-chip batch sweep (scripts/batch_sweep.py):
+    # 16 -> 51.8M, 32 -> 48.2M, 64 -> 51.7M, 96 -> 52.8M, 128 -> 52.95M,
+    # 192 -> 51.9M pts/s; 256 OOMs the whole-batch-resident FPS kernel's
+    # VMEM. b=32 is the anomalous WORST of the sweep.
+    batch = 128 if on_tpu else 4
     n = mcfg.subsample_size
     k1, k2 = jax.random.split(jax.random.PRNGKey(1))
     cloud = jax.random.uniform(k1, (batch, n, mcfg.n_input_feats - 2), jnp.float32)
@@ -301,7 +305,7 @@ def _run(probe):
     # the step trace's 3.38 ms of device ops). Steady-state serving
     # dispatches many batches before any fetch (inference/predict.py), so
     # the amortized number is the honest one.
-    iters = 200 if on_tpu else 2
+    iters = (200 * 32) // batch if on_tpu else 2
 
     # Chain iterations through a data dependence inside one jitted program and
     # fetch a scalar: measures pure device throughput and is robust to

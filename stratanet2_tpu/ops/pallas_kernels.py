@@ -225,16 +225,58 @@ def fps_pallas_batched(
     x3 = jnp.swapaxes(xt, 0, 1)
     start = start_idx.astype(jnp.int32).reshape(b, 1)
 
+    # Batch-block the kernel when the whole flattened batch would blow the
+    # ~16 MB scoped-VMEM limit (measured: B_eff=512 x Np=2048 compiles to a
+    # 16.41M stack alloc and is rejected — r4 batch sweep at eval b=256,
+    # fps_parts=2). Whole-array VMEM ~= coords (3*bb*Np*4) + packed-key
+    # cache (bb*Np*4) + out (n_samples*bb*4). Two regimes:
+    #   - fits whole-batch (<= ~12M measured-safe): keep the ungridded call
+    #     (no block windows, single-buffered).
+    #   - else: batch-grid it. Mosaic DOUBLE-buffers gridded block windows
+    #     (measured: bb=256 blocks of 8.9M compile to a 21.27M stack
+    #     alloc), so the per-block budget must leave 2x headroom.
+    # Blocks are independent clouds: splitting is bitwise-identical to the
+    # whole-batch call.
+    whole_budget = int(os.environ.get("STRATANET2_FPS_VMEM_BUDGET", 12_000_000))
+    block_budget = whole_budget // 2
+
+    def _cost(bb: int) -> int:
+        return 4 * bb * (4 * npad + n_samples)
+
+    if _cost(b) <= whole_budget:
+        out = pl.pallas_call(
+            _fps_kernel(n_samples, n),
+            name="fps",
+            out_shape=_sds((n_samples, b), jnp.int32, like=x3),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            scratch_shapes=[pltpu.VMEM((b, npad), jnp.int32)],
+            interpret=jax.default_backend() != "tpu",
+        )(start, x3)
+        return out.T
+
+    bb = 1
+    for d in range(b, 0, -1):
+        if b % d == 0 and _cost(d) <= block_budget:
+            bb = d
+            break
+
     out = pl.pallas_call(
         _fps_kernel(n_samples, n),
         name="fps",
+        grid=(b // bb,),
         out_shape=_sds((n_samples, b), jnp.int32, like=x3),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, bb, npad), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((b, npad), jnp.int32)],
+        out_specs=pl.BlockSpec(
+            (n_samples, bb), lambda i: (0, i), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[pltpu.VMEM((bb, npad), jnp.int32)],
         interpret=jax.default_backend() != "tpu",
     )(start, x3)
     return out.T
