@@ -909,7 +909,15 @@ def ball_query_grouped_pallas(
 # tensor); selection semantics are identical (grouped ball query).
 
 
-def _sa_kernel(k: int, g_real: int, n_valid: int, r2: float, two_layer: bool, blk: int):
+def _sa_kernel(
+    k: int,
+    g_real: int,
+    n_valid: int,
+    r2: float,
+    two_layer: bool,
+    blk: int,
+    compact_q: bool = False,
+):
     def kernel(centt_ref, ctermt_ref, x9_ref, pn_ref, q_ref, aff_ref, w2t_ref, out_ref):
         # centt (1,3,CC) TRANSPOSED centroids; ctermt (1,C1,CC) transposed
         # centroid terms; x9 (1,nb,9,blk*G) bf16 hi/lo rows; pn
@@ -931,7 +939,7 @@ def _sa_kernel(k: int, g_real: int, n_valid: int, r2: float, two_layer: bool, bl
         # fewer vregs ((16, CC) tiles vs (CC, 128-padded-16)).
         cc = centt_ref.shape[2]
         g = x9_ref.shape[3] // blk
-        c1 = q_ref.shape[2]
+        c1 = q_ref.shape[1] if compact_q else q_ref.shape[2]
         c2 = out_ref.shape[1]
         c3 = centt_ref[0]  # (3, CC) f32
         ctermt = ctermt_ref[0]  # (C1, CC)
@@ -949,14 +957,33 @@ def _sa_kernel(k: int, g_real: int, n_valid: int, r2: float, two_layer: bool, bl
         dn_ab = (((0,), (0,)), ((), ()))  # x9s (9, G) . c9t (9, CC) -> (G, CC)
         dn_gather = (((1,), (0,)), ((), ()))  # (C1, G) @ (G, CC)
 
+        if compact_q:
+            # COMPACT-Q path (g_real << LANE, blk == LANE/g_real): q stays
+            # (C1, N) in HBM — the _block_layout pad (8x lane padding at the
+            # SA2 bench shape) + its relayout copy were the top two
+            # non-kernel ops of the eval step (0.64 ms of a 4.09 ms step at
+            # B=32). Each block's groups cover EXACTLY one 128-lane tile of
+            # the compact q (blk*g_real == LANE), so the per-block slice is
+            # lane-aligned and the winner gather keeps its original
+            # (LANE, CC) one-hot contraction. (A first cut gathered against
+            # a GLOBAL (N, CC) one-hot instead: the 8x-K gather dots and
+            # (N, CC) compares cost ~1 ms at B=128 — more than the HBM
+            # savings. Block slicing keeps both costs unchanged.)
+            rowc = jax.lax.broadcasted_iota(jnp.int32, (blk * g_real, cc), 0)
+
         def body(bi, maxacc):
             x9b = x9_ref[0, bi]  # (9, blk*G) bf16
             pnb = pn_ref[0, bi]  # (1, blk*G) f32
-            qb = q_ref[0, bi]  # (C1, blk*G) f32
-            # stacked hi/lo split so the one-hot gather runs as ONE bf16
-            # matmul while returning the q values f32-exact (to lo rounding,
-            # ~2^-17 relative) — 6x cheaper than a HIGHEST f32 matmul
-            qhl = _sa_hilo_stack(qb)  # (2C1, blk*G)
+            if compact_q:
+                qb = q_ref[0, :, pl.ds(bi * blk * g_real, blk * g_real)]
+                qhl = _sa_hilo_stack(qb)  # (2C1, blk*g_real)
+            else:
+                qb = q_ref[0, bi]  # (C1, blk*G) f32
+                # stacked hi/lo split so the one-hot gather runs as ONE bf16
+                # matmul while returning the q values f32-exact (to lo
+                # rounding, ~2^-17 relative) — 6x cheaper than a HIGHEST
+                # f32 matmul
+                qhl = _sa_hilo_stack(qb)  # (2C1, blk*G)
             for l in range(blk):
                 gi = bi * blk + l
                 sl = slice(l * g, (l + 1) * g)
@@ -978,11 +1005,22 @@ def _sa_kernel(k: int, g_real: int, n_valid: int, r2: float, two_layer: bool, bl
                     dmin = jnp.min(d2, axis=0, keepdims=True)
                     idx = jnp.argmin(d2, axis=0).astype(jnp.int32)[None, :]
                 valid = dmin <= r2  # (1, CC)
-                onehot_t = (rowg2 == idx).astype(jnp.bfloat16)  # (G, CC)
-                selhl = jax.lax.dot_general(
-                    qhl[:, sl], onehot_t, dn_gather,
-                    preferred_element_type=jnp.float32,
-                )  # (2C1, CC) stacked halves, one dot (_sa_hilo_stack)
+                if compact_q:
+                    # winner's lane within the block's 128-lane q tile:
+                    # group offset l*g_real + local row idx (< g_real)
+                    onehot_t = (rowc == (l * g_real + idx)).astype(
+                        jnp.bfloat16
+                    )  # (blk*g_real, CC)
+                    selhl = jax.lax.dot_general(
+                        qhl, onehot_t, dn_gather,
+                        preferred_element_type=jnp.float32,
+                    )  # (2C1, CC)
+                else:
+                    onehot_t = (rowg2 == idx).astype(jnp.bfloat16)  # (G, CC)
+                    selhl = jax.lax.dot_general(
+                        qhl[:, sl], onehot_t, dn_gather,
+                        preferred_element_type=jnp.float32,
+                    )  # (2C1, CC) stacked halves, one dot (_sa_hilo_stack)
                 sel = selhl[:c1] + selhl[c1:]  # (C1, CC)
                 e = jax.nn.relu(sel - ctermt) * a1 + c1v
                 if two_layer:
@@ -1021,17 +1059,43 @@ def sa_fused_eval(
     g_real = -(-n // k)
     g = _round_up(g_real, _LANE)
     cc = min(cc, c)
-    # blk capped at 4: the transposed epilogue's unrolled per-group
-    # temporaries tipped scoped VMEM over 16 MB at blk=8 (bench SA1 shape);
-    # blk only batches the d2 matmul, so the cap costs little
-    blk = min(4, _group_blocks(k, g, cc=cc, budget=6 * 2**20))
-    while k % blk:
-        blk -= 1
+    # Compact-q (see _sa_kernel): engages for narrow groups, where blk is
+    # pinned to LANE/g_real so each block's groups span exactly one
+    # 128-lane tile of the compact q. The per-group temporaries stay small
+    # there (cc is small at those shapes), so the blk<=4 VMEM cap below
+    # does not apply.
+    compact_q = (
+        g_real < _LANE
+        and _LANE % g_real == 0
+        and k % (_LANE // g_real) == 0
+        # last block's q slice must stay inside the lane-padded compact q
+        and k * g_real <= _round_up(n, _LANE)
+    )
+    if compact_q:
+        blk = _LANE // g_real
+    else:
+        # blk capped at 4: the transposed epilogue's unrolled per-group
+        # temporaries tipped scoped VMEM over 16 MB at blk=8 (bench SA1
+        # shape); blk only batches the d2 matmul, so the cap costs little
+        blk = min(4, _group_blocks(k, g, cc=cc, budget=6 * 2**20))
+        while k % blk:
+            blk -= 1
     nb = k // blk
     xb = _block_layout(xyz.astype(jnp.float32), k, blk, g_real, g)
     x9 = _hilo9_rows(xb)  # (B, nb, 9, blk*G) bf16
     pn = jnp.sum(xb * xb, axis=2, keepdims=True)  # (B, nb, 1, blk*G)
-    qg = _block_layout(q.astype(jnp.float32), k, blk, g_real, g)
+    # Narrow groups (g_real << LANE) lane-pad the grouped q table by up to
+    # LANE/g_real (8x at the SA2 bench shape) and force a relayout copy —
+    # the top two non-kernel ops of the eval step. Keep q COMPACT (B,C1,N)
+    # there; the kernel slices it per lane-aligned block instead
+    # (see _sa_kernel compact_q).
+    if compact_q:
+        npadl = _round_up(n, _LANE)
+        qg = jnp.swapaxes(q.astype(jnp.float32), 1, 2)  # (B, C1, N)
+        if npadl != n:
+            qg = jnp.pad(qg, ((0, 0), (0, 0), (0, npadl - n)))
+    else:
+        qg = _block_layout(q.astype(jnp.float32), k, blk, g_real, g)
 
     cpad = _round_up(c, cc)
     if cpad != c:
@@ -1049,8 +1113,13 @@ def sa_fused_eval(
     else:
         w2t = jnp.zeros((ch1, ch1), jnp.float32)
 
+    q_spec = (
+        pl.BlockSpec((1, ch1, qg.shape[2]), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM)
+        if compact_q
+        else pl.BlockSpec((1, nb, ch1, blk * g), lambda i, j: (i, 0, 0, 0), memory_space=pltpu.VMEM)
+    )
     outt = pl.pallas_call(
-        _sa_kernel(k, g_real, n, float(radius) ** 2, two_layer, blk),
+        _sa_kernel(k, g_real, n, float(radius) ** 2, two_layer, blk, compact_q),
         name="sa_fused",
         grid=(b, cpad // cc),
         in_specs=[
@@ -1058,7 +1127,7 @@ def sa_fused_eval(
             pl.BlockSpec((1, ch1, cc), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, nb, 9, blk * g), lambda i, j: (i, 0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, nb, 1, blk * g), lambda i, j: (i, 0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, nb, ch1, blk * g), lambda i, j: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            q_spec,
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
