@@ -100,10 +100,24 @@ class TestPointNet2:
 
 
 class TestFusedSA:
-    @pytest.mark.parametrize("module,f_in", [("sa1", 8), ("sa2", 16)])
-    def test_fused_matches_xla_path(self, module, f_in):
+    @pytest.mark.parametrize(
+        "module,f_in,n,k",
+        [
+            # n=128, k=8: g_real=16 -> compact-q path, lane-aligned n
+            ("sa1", 8, 128, 8),
+            ("sa2", 16, 128, 8),
+            # n=250, k=16: g_real=16 -> compact-q with npadl=256 > n, so the
+            # kernel's lane-pad + n_valid masking branch is exercised
+            ("sa2", 16, 250, 16),
+            # n=256, k=2: g_real=128 == LANE -> the NON-compact (_block_layout)
+            # path at the same test scale
+            ("sa1", 8, 256, 2),
+        ],
+    )
+    def test_fused_matches_xla_path(self, module, f_in, n, k):
         """sa_fused_eval (interpret mode) == the unfused masked-MLP path for
-        both the 2-layer (SA1) and 1-layer (SA2) MLPs."""
+        both the 2-layer (SA1) and 1-layer (SA2) MLPs, on both the compact-q
+        (narrow groups, incl. non-lane-aligned n) and block-layout paths."""
         import jax
         from stratanet2_tpu.models import nn as NN
         from stratanet2_tpu.models.pointnet2 import _sa_fused, _gather
@@ -125,7 +139,7 @@ class TestFusedSA:
                 for ch in chs
             ]
         }
-        b, n, c, k, r = 2, 128, 32, 8, np.sqrt(8.0)
+        b, c, r = 2, 32, np.sqrt(8.0)
         x = jax.random.uniform(jax.random.PRNGKey(1), (b, n, f_in))
         xyz = jax.random.uniform(jax.random.PRNGKey(2), (b, n, 3), minval=-5, maxval=5)
         idx = farthest_point_sampling(xyz, c, use_pallas=False)
