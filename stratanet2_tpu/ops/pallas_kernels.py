@@ -938,7 +938,6 @@ def _sa_kernel(
         # (8x less MXU work), and the affine/relu/max epilogue touches 4x
         # fewer vregs ((16, CC) tiles vs (CC, 128-padded-16)).
         cc = centt_ref.shape[2]
-        g = x9_ref.shape[3] // blk
         c1 = q_ref.shape[1] if compact_q else q_ref.shape[2]
         c2 = out_ref.shape[1]
         c3 = centt_ref[0]  # (3, CC) f32
@@ -949,41 +948,89 @@ def _sa_kernel(
         c9t = jnp.concatenate([hi, lo, hi], axis=0)  # (9, CC), pairs x9 rows
         a1 = aff_ref[0, :c1][:, None]
         c1v = aff_ref[1, :c1][:, None]
+        dn_ab = (((0,), (0,)), ((), ()))  # x9s (9, G) . c9t (9, CC) -> (G, CC)
+        dn_gather = (((1,), (0,)), ((), ()))  # (C1, G) @ (G, CC)
+
+        def epilogue(sel, valid, maxacc):
+            e = jax.nn.relu(sel - ctermt) * a1 + c1v
+            if two_layer:
+                b2 = aff_ref[2, :c2][:, None]
+                a2 = aff_ref[3, :c2][:, None]
+                c2v = aff_ref[4, :c2][:, None]
+                e = jnp.dot(w2t_ref[:, :], e, preferred_element_type=jnp.float32)
+                e = jax.nn.relu(e + b2) * a2 + c2v
+            e = jnp.where(valid, e, jnp.float32(-3.4e38))
+            return jnp.maximum(maxacc, e)
+
+        if compact_q:
+            # COMPACT path (g_real << LANE, blk == LANE/g_real, g_real % 8
+            # == 0): q/xyz/pn stay COMPACT (C, N) in HBM — the _block_layout
+            # lane pad (8x at the SA2 bench shape) + its relayout copy were
+            # the top two non-kernel ops of the eval step. Each kernel block
+            # covers EXACTLY one 128-lane tile = blk whole groups, so:
+            #   * ONE (LANE, CC) distance dot serves all blk groups (the
+            #     r4 per-group dots computed the same tile blk times with
+            #     7/8 of the rows lane padding);
+            #   * the per-group argmin is a static SUBLANE slice (g_real
+            #     rows, 8-aligned) of that tile;
+            #   * the winner one-hot keeps its (LANE, CC) contraction.
+            # Selection algebra is thinned for the unpacked argmin: the
+            # centroid norm is constant per column so argmin(pn - 2ab) ==
+            # argmin(d2), and the radius test moves to dmin' <= r2 - cn
+            # (one (1, CC) row op instead of two (LANE, CC) passes). The
+            # -2 rides the bf16 c9t split (exact power-of-2 scale), and
+            # lane-pad/n_valid masking rides POISONED pn rows (host-set
+            # 3.4e38: padded points lose every argmin and fail every
+            # radius test with zero in-kernel mask ops).
+            lane_b = blk * g_real
+            rowc = jax.lax.broadcasted_iota(jnp.int32, (lane_b, cc), 0)
+            c9t2 = -2.0 * c9t.astype(jnp.float32)
+            c9t2 = c9t2.astype(jnp.bfloat16)
+            rthr = r2 - cn  # (1, CC)
+
+            def body_c(bi, maxacc):
+                x9b = x9_ref[0, :, pl.ds(bi * lane_b, lane_b)]  # (9, LANE)
+                pnb = pn_ref[0, :, pl.ds(bi * lane_b, lane_b)]  # (1, LANE)
+                qb = q_ref[0, :, pl.ds(bi * lane_b, lane_b)]
+                qhl = _sa_hilo_stack(qb)  # (2C1, LANE)
+                d2p = jnp.swapaxes(pnb, 0, 1) + jax.lax.dot_general(
+                    x9b, c9t2, dn_ab, preferred_element_type=jnp.float32
+                )  # (LANE, CC) = |x|^2 - 2 x.c (norm-less; see note above)
+                for l in range(blk):
+                    d2l = d2p[l * g_real : (l + 1) * g_real]  # (g_real, CC)
+                    dmin = jnp.min(d2l, axis=0, keepdims=True)
+                    idx = jnp.argmin(d2l, axis=0).astype(jnp.int32)[None, :]
+                    valid = dmin <= rthr  # (1, CC)
+                    onehot_t = (rowc == (l * g_real + idx)).astype(
+                        jnp.bfloat16
+                    )  # (LANE, CC)
+                    selhl = jax.lax.dot_general(
+                        qhl, onehot_t, dn_gather,
+                        preferred_element_type=jnp.float32,
+                    )  # (2C1, CC)
+                    maxacc = epilogue(selhl[:c1] + selhl[c1:], valid, maxacc)
+                return maxacc
+
+            init = jnp.full((c2, cc), -3.4e38, jnp.float32)
+            out_ref[0] = jax.lax.fori_loop(0, k // blk, body_c, init)
+            return
+
+        g = x9_ref.shape[3] // blk
         rowg = jax.lax.broadcasted_iota(jnp.int32, (g, 1), 0)
         rowg2 = jax.lax.broadcasted_iota(jnp.int32, (g, cc), 0)
         packed = _use_packed(g)
         nbits = max(1, (g - 1).bit_length())
         low = (1 << nbits) - 1
-        dn_ab = (((0,), (0,)), ((), ()))  # x9s (9, G) . c9t (9, CC) -> (G, CC)
-        dn_gather = (((1,), (0,)), ((), ()))  # (C1, G) @ (G, CC)
-
-        if compact_q:
-            # COMPACT-Q path (g_real << LANE, blk == LANE/g_real): q stays
-            # (C1, N) in HBM — the _block_layout pad (8x lane padding at the
-            # SA2 bench shape) + its relayout copy were the top two
-            # non-kernel ops of the eval step (0.64 ms of a 4.09 ms step at
-            # B=32). Each block's groups cover EXACTLY one 128-lane tile of
-            # the compact q (blk*g_real == LANE), so the per-block slice is
-            # lane-aligned and the winner gather keeps its original
-            # (LANE, CC) one-hot contraction. (A first cut gathered against
-            # a GLOBAL (N, CC) one-hot instead: the 8x-K gather dots and
-            # (N, CC) compares cost ~1 ms at B=128 — more than the HBM
-            # savings. Block slicing keeps both costs unchanged.)
-            rowc = jax.lax.broadcasted_iota(jnp.int32, (blk * g_real, cc), 0)
 
         def body(bi, maxacc):
             x9b = x9_ref[0, bi]  # (9, blk*G) bf16
             pnb = pn_ref[0, bi]  # (1, blk*G) f32
-            if compact_q:
-                qb = q_ref[0, :, pl.ds(bi * blk * g_real, blk * g_real)]
-                qhl = _sa_hilo_stack(qb)  # (2C1, blk*g_real)
-            else:
-                qb = q_ref[0, bi]  # (C1, blk*G) f32
-                # stacked hi/lo split so the one-hot gather runs as ONE bf16
-                # matmul while returning the q values f32-exact (to lo
-                # rounding, ~2^-17 relative) — 6x cheaper than a HIGHEST
-                # f32 matmul
-                qhl = _sa_hilo_stack(qb)  # (2C1, blk*G)
+            qb = q_ref[0, bi]  # (C1, blk*G) f32
+            # stacked hi/lo split so the one-hot gather runs as ONE bf16
+            # matmul while returning the q values f32-exact (to lo
+            # rounding, ~2^-17 relative) — 6x cheaper than a HIGHEST
+            # f32 matmul
+            qhl = _sa_hilo_stack(qb)  # (2C1, blk*G)
             for l in range(blk):
                 gi = bi * blk + l
                 sl = slice(l * g, (l + 1) * g)
@@ -1005,32 +1052,12 @@ def _sa_kernel(
                     dmin = jnp.min(d2, axis=0, keepdims=True)
                     idx = jnp.argmin(d2, axis=0).astype(jnp.int32)[None, :]
                 valid = dmin <= r2  # (1, CC)
-                if compact_q:
-                    # winner's lane within the block's 128-lane q tile:
-                    # group offset l*g_real + local row idx (< g_real)
-                    onehot_t = (rowc == (l * g_real + idx)).astype(
-                        jnp.bfloat16
-                    )  # (blk*g_real, CC)
-                    selhl = jax.lax.dot_general(
-                        qhl, onehot_t, dn_gather,
-                        preferred_element_type=jnp.float32,
-                    )  # (2C1, CC)
-                else:
-                    onehot_t = (rowg2 == idx).astype(jnp.bfloat16)  # (G, CC)
-                    selhl = jax.lax.dot_general(
-                        qhl[:, sl], onehot_t, dn_gather,
-                        preferred_element_type=jnp.float32,
-                    )  # (2C1, CC) stacked halves, one dot (_sa_hilo_stack)
-                sel = selhl[:c1] + selhl[c1:]  # (C1, CC)
-                e = jax.nn.relu(sel - ctermt) * a1 + c1v
-                if two_layer:
-                    b2 = aff_ref[2, :c2][:, None]
-                    a2 = aff_ref[3, :c2][:, None]
-                    c2v = aff_ref[4, :c2][:, None]
-                    e = jnp.dot(w2t_ref[:, :], e, preferred_element_type=jnp.float32)
-                    e = jax.nn.relu(e + b2) * a2 + c2v
-                e = jnp.where(valid, e, jnp.float32(-3.4e38))
-                maxacc = jnp.maximum(maxacc, e)
+                onehot_t = (rowg2 == idx).astype(jnp.bfloat16)  # (G, CC)
+                selhl = jax.lax.dot_general(
+                    qhl[:, sl], onehot_t, dn_gather,
+                    preferred_element_type=jnp.float32,
+                )  # (2C1, CC) stacked halves, one dot (_sa_hilo_stack)
+                maxacc = epilogue(selhl[:c1] + selhl[c1:], valid, maxacc)
             return maxacc
 
         init = jnp.full((c2, cc), -3.4e38, jnp.float32)
@@ -1067,6 +1094,9 @@ def sa_fused_eval(
     compact_q = (
         g_real < _LANE
         and _LANE % g_real == 0
+        # static sublane slices of the block distance tile need 8-aligned
+        # group rows (f32 sublane granularity)
+        and g_real % 8 == 0
         and k % (_LANE // g_real) == 0
         # last block's q slice must stay inside the lane-padded compact q
         and k * g_real <= _round_up(n, _LANE)
@@ -1081,20 +1111,32 @@ def sa_fused_eval(
         while k % blk:
             blk -= 1
     nb = k // blk
-    xb = _block_layout(xyz.astype(jnp.float32), k, blk, g_real, g)
-    x9 = _hilo9_rows(xb)  # (B, nb, 9, blk*G) bf16
-    pn = jnp.sum(xb * xb, axis=2, keepdims=True)  # (B, nb, 1, blk*G)
-    # Narrow groups (g_real << LANE) lane-pad the grouped q table by up to
-    # LANE/g_real (8x at the SA2 bench shape) and force a relayout copy —
-    # the top two non-kernel ops of the eval step. Keep q COMPACT (B,C1,N)
-    # there; the kernel slices it per lane-aligned block instead
-    # (see _sa_kernel compact_q).
+    # Narrow groups (g_real << LANE) lane-pad the grouped tables by up to
+    # LANE/g_real (8x at the SA2 bench shape) and force relayout copies —
+    # the top two non-kernel ops of the eval step. Keep q AND xyz/pn
+    # COMPACT (B, C, N) there; the kernel slices one 128-lane tile per
+    # block and serves all its groups from ONE distance dot
+    # (see _sa_kernel compact path). Lane-pad/n_valid masking is encoded
+    # by POISONING pn: a 3.4e38 row norm loses every argmin and fails
+    # every radius test, so the kernel needs no pad mask at all.
     if compact_q:
         npadl = _round_up(n, _LANE)
         qg = jnp.swapaxes(q.astype(jnp.float32), 1, 2)  # (B, C1, N)
+        xt = jnp.swapaxes(xyz.astype(jnp.float32), 1, 2)  # (B, 3, N)
+        pn = jnp.sum(xt * xt, axis=1, keepdims=True)  # (B, 1, N)
         if npadl != n:
             qg = jnp.pad(qg, ((0, 0), (0, 0), (0, npadl - n)))
+            xt = jnp.pad(xt, ((0, 0), (0, 0), (0, npadl - n)))
+            pn = jnp.pad(
+                pn,
+                ((0, 0), (0, 0), (0, npadl - n)),
+                constant_values=3.4e38,
+            )
+        x9 = _hilo9_rows(xt)  # (B, 9, npadl) bf16
     else:
+        xb = _block_layout(xyz.astype(jnp.float32), k, blk, g_real, g)
+        x9 = _hilo9_rows(xb)  # (B, nb, 9, blk*G) bf16
+        pn = jnp.sum(xb * xb, axis=2, keepdims=True)  # (B, nb, 1, blk*G)
         qg = _block_layout(q.astype(jnp.float32), k, blk, g_real, g)
 
     cpad = _round_up(c, cc)
@@ -1113,11 +1155,26 @@ def sa_fused_eval(
     else:
         w2t = jnp.zeros((ch1, ch1), jnp.float32)
 
-    q_spec = (
-        pl.BlockSpec((1, ch1, qg.shape[2]), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM)
-        if compact_q
-        else pl.BlockSpec((1, nb, ch1, blk * g), lambda i, j: (i, 0, 0, 0), memory_space=pltpu.VMEM)
-    )
+    if compact_q:
+        q_spec = pl.BlockSpec(
+            (1, ch1, qg.shape[2]), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM
+        )
+        x9_spec = pl.BlockSpec(
+            (1, 9, x9.shape[2]), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM
+        )
+        pn_spec = pl.BlockSpec(
+            (1, 1, pn.shape[2]), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM
+        )
+    else:
+        q_spec = pl.BlockSpec(
+            (1, nb, ch1, blk * g), lambda i, j: (i, 0, 0, 0), memory_space=pltpu.VMEM
+        )
+        x9_spec = pl.BlockSpec(
+            (1, nb, 9, blk * g), lambda i, j: (i, 0, 0, 0), memory_space=pltpu.VMEM
+        )
+        pn_spec = pl.BlockSpec(
+            (1, nb, 1, blk * g), lambda i, j: (i, 0, 0, 0), memory_space=pltpu.VMEM
+        )
     outt = pl.pallas_call(
         _sa_kernel(k, g_real, n, float(radius) ** 2, two_layer, blk, compact_q),
         name="sa_fused",
@@ -1125,8 +1182,8 @@ def sa_fused_eval(
         in_specs=[
             pl.BlockSpec((1, 3, cc), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, ch1, cc), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, nb, 9, blk * g), lambda i, j: (i, 0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, nb, 1, blk * g), lambda i, j: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            x9_spec,
+            pn_spec,
             q_spec,
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
