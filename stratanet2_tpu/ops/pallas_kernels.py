@@ -680,16 +680,20 @@ def knn_interpolate_pallas(x_src, pos_src, pos_tgt, k: int = 3):
 # through selection), so no custom VJP is needed.
 
 
-def _grouped_layout(points: jax.Array, k: int):
-    """(B, N, 3) -> (B, 3, K*G) with each group lane-aligned (G = ceil(N/k)
-    rounded to 128). Group gi holds original points [gi*g_real, gi*g_real +
-    g_real) in lanes [gi*G, gi*G + g_real); tail lanes are zero padding.
+def _grouped_layout(points: jax.Array, k: int, align: int = _LANE):
+    """(B, N, 3) -> (B, 3, K*G) with each group align-rounded (G =
+    ceil(N/k) rounded to `align`). Group gi holds original points
+    [gi*g_real, gi*g_real + g_real) in lanes [gi*G, gi*G + g_real); tail
+    lanes are zero padding.
 
-    Lane alignment lets the kernels slice per-group (CC, G) views out of one
-    block-batched MXU distance tile with no relayout."""
+    align=128 (lane) lets kernels slice per-group LANE views of tables
+    with no relayout; the fully-transposed bq kernel only ever slices
+    per-group SUBLANE views of the (K*G, CC) distance tile, so align=8
+    (f32 sublane granularity) suffices there and cuts the group padding
+    (bq1 PROD: G 384 -> 320; bq2: 128 -> 40)."""
     b, n, _ = points.shape
     g_real = -(-n // k)
-    g = _round_up(g_real, _LANE)
+    g = _round_up(g_real, align)
     xyz = points
     if k * g_real != n:
         xyz = jnp.pad(xyz, ((0, 0), (0, k * g_real - n), (0, 0)))
@@ -733,35 +737,46 @@ def _use_packed(g: int) -> bool:
 
 
 def _bq_kernel(k: int, g_real: int, n_valid: int, r2: float, blk: int):
-    def kernel(centt_ref, xyz9_ref, pn_ref, idx_ref, mask_ref):
-        # centt (1,3,CC) TRANSPOSED centroids; xyz9 (1,K/blk,9,blk*G) bf16
-        # hi/lo rows; pn (1,K/blk,1,blk*G) f32 norms; idx/mask (1,K,CC).
+    def kernel(centt_ref, x13_ref, idx_ref, mask_ref):
+        # centt (1,3,CC) TRANSPOSED centroids; x13 (1,K/blk,13,blk*G) bf16
+        # rows [x9 hi/hi/lo (9) | pn_hi | pn_lo | 1 | 1]; idx/mask (1,K,CC).
         #
         # FULLY transposed orientation (same playbook as _sa_kernel/_knn_
         # kernel, docs/KERNELS.md "full transposition beats half"): the
         # distance tile is (blk*G, CC) via ONE dim-0-contracted dot per
         # block, so each group's min/argmin reduces over SUBLANES and yields
         # a lane-major (1, CC) result — the where-merges into the (K, CC)
-        # accumulators are cheap sublane broadcasts of lane vectors, where
-        # the old (CC, K) orientation lane-broadcast sublane-major vectors
-        # (a relayout per group). The per-centroid norm cn is constant per
-        # lane column and cannot change the sublane argmin; it is re-added
-        # only for the exact radius compare.
+        # accumulators are cheap sublane broadcasts of lane vectors.
+        #
+        # Round 5: the WHOLE d2 = |x|^2 + |c|^2 - 2 x.c assembles inside
+        # the dot — the c side carries [-2c9 | 1 | 1 | cn_hi | cn_lo]
+        # so the 13-wide contraction emits finished distances (a <=128
+        # contraction costs the same MXU rows as the 9-wide one), and
+        # lane-pad/n_valid masking rides POISONED pn rows (host-set 1e30,
+        # bf16-finite): padded points lose every argmin and fail every
+        # radius test. Zero per-element VPU assemble or masking remains;
+        # groups round to 8 sublanes instead of 128 lanes (bq1 G 384 ->
+        # 320, bq2 128 -> 40) since only SUBLANE slices of the tile are
+        # taken.
         #
         # fori_loop over group BLOCKS (not a Python unroll): argmin's
         # iota/select temporaries are (G, CC)-sized, and an unrolled loop
         # keeps all k of them live (~22 MB of scoped vmem, OOM).
         cc = centt_ref.shape[2]
-        g = xyz9_ref.shape[3] // blk
+        g = x13_ref.shape[3] // blk
         c3 = centt_ref[0]  # (3, CC) f32
         cn = jnp.sum(c3 * c3, axis=0, keepdims=True)  # (1, CC)
         hi = c3.astype(jnp.bfloat16)
         lo = (c3 - hi.astype(jnp.float32)).astype(jnp.bfloat16)
-        c9t = jnp.concatenate([hi, lo, hi], axis=0)  # (9, CC)
-        rowg = jax.lax.broadcasted_iota(jnp.int32, (g, 1), 0)
+        cnh = cn.astype(jnp.bfloat16)
+        cnl = (cn - cnh.astype(jnp.float32)).astype(jnp.bfloat16)
+        one = jnp.ones((1, cc), jnp.bfloat16)
+        c13t = jnp.concatenate(
+            [-2.0 * hi, -2.0 * lo, -2.0 * hi, one, one, cnh, cnl], axis=0
+        )  # (13, CC), pairs x13 rows; -2 scale is exact (power of two)
         rowg2 = jax.lax.broadcasted_iota(jnp.int32, (g, cc), 0)
         rowk = jax.lax.broadcasted_iota(jnp.int32, (k, cc), 0)
-        dn_ab = (((0,), (0,)), ((), ()))  # xyz9 (9, blk*G) . c9t (9, CC)
+        dn_ab = (((0,), (0,)), ((), ()))  # x13 (13, blk*G) . c13t (13, CC)
 
         packed = _use_packed(g)
         nbits = max(1, (g - 1).bit_length())
@@ -769,24 +784,19 @@ def _bq_kernel(k: int, g_real: int, n_valid: int, r2: float, blk: int):
 
         def dot_block(bi):
             return jax.lax.dot_general(
-                xyz9_ref[0, bi], c9t, dn_ab, preferred_element_type=jnp.float32
-            )  # (blk*G, CC)
+                x13_ref[0, bi], c13t, dn_ab, preferred_element_type=jnp.float32
+            )  # (blk*G, CC) finished d2 (poisoned rows ~1e30)
 
-        def merge_block(bi, ab_t, idx_acc, mask_acc):
-            pnb = pn_ref[0, bi]  # (1, blk*G)
+        def merge_block(bi, d2_t, idx_acc, mask_acc):
             for l in range(blk):
                 gi = bi * blk + l
                 sl = slice(l * g, (l + 1) * g)
-                xn_col = jnp.swapaxes(pnb[:, sl], 0, 1)  # (G, 1)
-                # cn MUST be added (and the result clamped >= 0) BEFORE the
-                # packed min: the bit-trick needs d2 >= 0 — int32 order is
-                # REVERSED among negative floats, and xn - 2ab is negative
-                # for near points (caused real centroids to lose their self
-                # slot at PROD geometry -> inf activations -> NaN stats).
-                d2 = jnp.maximum(xn_col + cn - 2.0 * ab_t[sl], 0.0)  # (G, CC)
-                pad = (rowg >= g_real) | ((gi * g_real + rowg) >= n_valid)
-                d2 = jnp.where(pad, jnp.float32(3.4e38), d2)
                 if packed:
+                    # the bit-trick needs d2 >= 0: int32 order is REVERSED
+                    # among negative floats, and hi/lo rounding can leave
+                    # small negatives near self-matches (docs/KERNELS.md
+                    # round-3 NaN lesson)
+                    d2 = jnp.maximum(d2_t[sl], 0.0)  # (G, CC)
                     key = (
                         jax.lax.bitcast_convert_type(d2, jnp.int32) & ~low
                     ) | rowg2
@@ -794,6 +804,8 @@ def _bq_kernel(k: int, g_real: int, n_valid: int, r2: float, blk: int):
                     within = kmin & low
                     dmin = jax.lax.bitcast_convert_type(kmin & ~low, jnp.float32)
                 else:
+                    # unpacked min/argmin are sign-safe: no clamp needed
+                    d2 = d2_t[sl]
                     dmin = jnp.min(d2, axis=0, keepdims=True)
                     within = jnp.argmin(d2, axis=0).astype(jnp.int32)[None, :]
                 valid = dmin <= r2  # (1, CC)
@@ -843,9 +855,32 @@ def ball_query_grouped_pallas(
     consumes this directly (the (B, C, k) form costs two HBM relayouts)."""
     b, n, _ = points.shape
     c = centroids.shape[1]
-    xt, g_real, g = _grouped_layout(points, k)
-    xt9 = _hilo9_rows(xt)
+    # align=8: the transposed kernel only takes SUBLANE slices of the
+    # distance tile, so groups need 8-row (not 128-lane) alignment —
+    # bq1 PROD G 384 -> 320, bq2 128 -> 40 (docs/KERNELS.md round 5)
+    xt, g_real, g = _grouped_layout(points, k, align=8)
+    xt9 = _hilo9_rows(xt)  # (B, 9, K*G) bf16
     pn = jnp.sum(xt * xt, axis=1, keepdims=True)  # (B, 1, K*G) f32
+    # POISON padded rows (in-group tail + beyond-n): 1e30 (bf16-finite)
+    # loses every argmin and fails every radius test, so the kernel needs
+    # no pad mask at all. Membership: lane j belongs to group j // g at
+    # within-group row j % g, which is real iff row < g_real and the
+    # original point index (j//g)*g_real + row < n.
+    lane = jnp.arange(k * g)
+    row = lane % g
+    orig = (lane // g) * g_real + row
+    pad_mask = (row >= g_real) | (orig >= n)
+    pn = jnp.where(pad_mask[None, None, :], jnp.float32(1e30), pn)
+    pnh = jax.lax.reduce_precision(pn, exponent_bits=8, mantissa_bits=7)
+    x13 = jnp.concatenate(
+        [
+            xt9,
+            pnh.astype(jnp.bfloat16),
+            (pn - pnh).astype(jnp.bfloat16),
+            jnp.ones((b, 2, k * g), jnp.bfloat16),
+        ],
+        axis=1,
+    )  # (B, 13, K*G): [x9 | pn_hi | pn_lo | 1 | 1], pairs the kernel's c13t
     # Full 12 MiB block budget (one live (blk*G, CC) f32 distance tile —
     # the serial kernel loop). STRATANET2_BQ_BLOCK_BUDGET overrides
     # (bytes) — bench.py's compile-failure retry path shrinks it if
@@ -854,8 +889,7 @@ def ball_query_grouped_pallas(
         k, g, budget=int(os.environ.get("STRATANET2_BQ_BLOCK_BUDGET", 12 * 2**20))
     )
     nb = k // blk
-    xt9 = xt9.reshape(b, 9, nb, blk * g).swapaxes(1, 2)  # (B, nb, 9, blk*G)
-    pn = pn.reshape(b, 1, nb, blk * g).swapaxes(1, 2)
+    x13 = x13.reshape(b, 13, nb, blk * g).swapaxes(1, 2)  # (B, nb, 13, blk*G)
 
     cc = min(cc, c)
     cpad = _round_up(c, cc)
@@ -870,19 +904,18 @@ def ball_query_grouped_pallas(
         grid=(b, cpad // cc),
         in_specs=[
             pl.BlockSpec((1, 3, cc), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, nb, 9, blk * g), lambda i, j: (i, 0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, nb, 1, blk * g), lambda i, j: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nb, 13, blk * g), lambda i, j: (i, 0, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(
             pl.BlockSpec((1, k, cc), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, k, cc), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            _sds((b, k, cpad), jnp.int32, like=xt9),
-            _sds((b, k, cpad), jnp.int32, like=xt9),
+            _sds((b, k, cpad), jnp.int32, like=x13),
+            _sds((b, k, cpad), jnp.int32, like=x13),
         ),
         interpret=jax.default_backend() != "tpu",
-    )(centt, xt9, pn)
+    )(centt, x13)
     if layout == "kc":
         return idx[:, :, :c], mask[:, :, :c].astype(bool)
     idx = jnp.swapaxes(idx, 1, 2)

@@ -49,6 +49,10 @@ __all__ = [
     "reference_forward",
     "reference_train_loss",
     "reference_plotwise_coverages",
+    "reference_rasterize_plot",
+    "reference_weight_bands",
+    "reference_merge_rasters",
+    "reference_hard_med_veg_band",
     "make_reference_state_dict",
 ]
 
@@ -463,6 +467,118 @@ def reference_plotwise_coverages(
             [low.mean(), (1.0 - low).mean(), pix_max[:, 2].mean(), pix_max[:, 3].mean()]
         )
     return np.asarray(out, np.float32)
+
+
+def reference_rasterize_plot(
+    coverages_pointwise: np.ndarray,
+    xy: np.ndarray,
+    diam_pix: int,
+    diam_meters: int,
+) -> np.ndarray:
+    """`project_to_2d_rasters` semantics (model/project_to_2d.py:58-113):
+    absolute-coordinate binning with scaling_factor = 10*diam_pix/
+    diam_meters, then the reference's PER-UNIQUE-PIXEL Python loop with a
+    FRESH torch nn.MaxPool1d instantiated per pixel (its serve hot loop,
+    SURVEY §3.5 #3 — kept deliberately, this oracle measures the
+    reference's cost structure), NaN-filled images, y flip.
+
+    coverages_pointwise (C>=4, N), xy (2, N) centered meters ->
+    (3, diam_pix, diam_pix)."""
+    import torch
+    import torch.nn as nn
+
+    scaling = 10.0 * (diam_pix / diam_meters)
+    half = diam_meters // 2
+    pix = np.floor((xy + 0.0001) * scaling + half).astype(np.int64)
+    pix = np.clip(pix, 0, diam_pix - 1)
+    _, inverse = np.unique(pix.T, axis=0, return_inverse=True)
+
+    cov_t = torch.from_numpy(np.ascontiguousarray(coverages_pointwise))
+    images = [np.full((diam_pix, diam_pix), np.nan) for _ in range(3)]
+    for i in np.unique(inverse):
+        where = np.where(inverse == i)[0]
+        kx, my = pix.T[where][0]
+        pool = nn.MaxPool1d(len(where))
+        vals = pool(cov_t[:, where].unsqueeze(0)).numpy().flatten()
+        images[0][my, kx] = vals[0]
+        images[1][my, kx] = vals[2]
+        images[2][my, kx] = vals[3]
+    return np.stack([np.flip(im, axis=0) for im in images])
+
+
+def reference_weight_bands(rasters: np.ndarray, diam_pix: int) -> np.ndarray:
+    """`add_weights_band_to_rasters` (inference/geotiff_raster.py:103-118):
+    per-channel linear-decay weight band 1.5 - r on the normalized pixel
+    meshgrid (data_loader/loader.py:106-123), NaN outside r > 0.5."""
+    ax = (np.arange(-diam_pix // 2, diam_pix // 2) + 0.5) / diam_pix
+    xx, yy = np.meshgrid(ax, ax)
+    r = np.sqrt(xx**2 + yy**2)
+    w = 1.5 - r
+    w[r > 0.5] = np.nan
+    return np.concatenate([rasters] + [w[None]] * len(rasters), 0)
+
+
+def reference_merge_rasters(
+    tiles: Sequence[np.ndarray], offsets: Sequence[Tuple[int, int]],
+    height: int, width: int,
+) -> np.ndarray:
+    """The reference's mosaic accumulation: rasterio.merge.merge copies the
+    first tile onto a NaN canvas and calls `_weighted_average_of_rasters`
+    (inference/geotiff_raster.py:294-347) once per further tile over its
+    window — scores scaled by weights, nodata-aware sums, division by the
+    summed unweighted weights. Same math/cost structure here on pixel
+    offsets instead of geo windows; tiles carry [C scores | C weights]."""
+    c2 = tiles[0].shape[0]
+    nsc = c2 // 2
+    canvas = np.full((c2, height, width), np.nan)
+    first = True
+    for tile, (r0, c0) in zip(tiles, offsets):
+        h, w = tile.shape[1], tile.shape[2]
+        win = canvas[:, r0 : r0 + h, c0 : c0 + w]
+        if first:
+            win[:] = tile
+            first = False
+            continue
+        old, new = win.copy(), tile.copy()
+        old_nodata, new_nodata = np.isnan(old), np.isnan(new)
+        unweighted = np.zeros_like(old[:nsc])
+        for bi in range(nsc):
+            wi = nsc + bi
+            old[bi] = old[bi] * old[wi] * (1 - old_nodata[bi])
+            new[bi] = new[bi] * new[wi] * (1 - new_nodata[bi])
+            w1 = old[wi] * (1 - old_nodata[bi])
+            w2 = new[wi] * (1 - new_nodata[bi])
+            unweighted[bi] = np.nansum(np.stack([w1, w2]), axis=0)
+            unweighted[bi][old_nodata[bi] * new_nodata[bi]] = np.nan
+        old[old_nodata] = np.nan
+        new[new_nodata] = np.nan
+        both = old_nodata * new_nodata
+        out = np.nansum([old, new], axis=0)
+        out[both] = np.nan
+        with np.errstate(invalid="ignore", divide="ignore"):
+            out[:nsc] = out[:nsc] / unweighted
+        win[:] = out
+    return canvas
+
+
+def reference_hard_med_veg_band(mosaic: np.ndarray) -> np.ndarray:
+    """`insert_hard_med_veg_raster_band` (inference/geotiff_raster.py:
+    121-146): scan 10,001 thresholds in a Python loop for the one whose
+    hard coverage best matches the soft mean — the reference's per-parcel
+    finalization hot loop, kept loop-shaped for cost fidelity."""
+    med = mosaic[1]
+    mask = np.isnan(med)
+    target = np.nanmean(med)
+    lin = np.linspace(0, 1, 10001)
+    delta = np.ones_like(lin)
+    for i, thr in enumerate(lin):
+        hard = 1.0 * (med > thr)
+        hard[mask] = np.nan
+        delta[i] = abs(target - np.nanmean(hard))
+    thr = lin[np.argmin(delta)]
+    hard = 1.0 * (med > thr)
+    hard[mask] = np.nan
+    return np.insert(mosaic, 3, hard, axis=0)
 
 
 def make_reference_state_dict(
