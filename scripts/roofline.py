@@ -82,21 +82,86 @@ def knn_call(g: Geometry, T, S, F, tc):
     return dist + gather, vpu, io
 
 
-def selection_call(g: Geometry, C, N, k, extra_gather_rows, cc=512):
+def selection_call(g: Geometry, C, N, k, extra_gather_rows, cc=512,
+                   galign=128, vops=6):
     """ball_query / fused-SA shape: per centroid-chunk, k group passes each
-    with a (G, cc) distance dot (K=9, G=N/k), packed-min VPU sweep, and
+    with a (G, cc) distance dot (13-wide contraction emits finished d2),
+    a packed-min/argmin VPU sweep (vops elem-ops per element; 6 for the
+    pre-round-5 assemble+min form, 3 for the finished-d2 kernels), and
     (for SA) a one-hot q-gather dot of (extra_gather_rows, cc) contracting
-    G."""
-    G = cdiv(N, k)
+    G. galign: group row alignment (128 lanes historically; 8 sublanes for
+    the round-5 bq kernel)."""
+    G = cdiv(cdiv(N, k), galign) * galign
     chunks = g.B * cdiv(C, cc)
-    dist = mxu_ms(G, cc, 9, calls=chunks * k)
+    dist = mxu_ms(G, cc, 13, calls=chunks * k)
     gather = (
         mxu_ms(extra_gather_rows, cc, G, calls=chunks * k)
         if extra_gather_rows
         else 0.0
     )
-    vpu = vpu_ms(6 * G * cc * chunks * k)  # d2 assemble + packed min + merges
+    vpu = vpu_ms(vops * G * cc * chunks * k)
     return dist + gather, vpu
+
+
+def scatter_call(g: Geometry, T, S, F, tc, k=None):
+    """knn_scatter_bwd pallas_call: per (batch, target-chunk), k passes of
+    one-hot build (tc, SP) + a stacked hi/lo dot (2F, SP) contracting tc."""
+    k = k or g.KNN
+    spad = cdiv(S, 128) * 128
+    chunks = g.B * cdiv(T, tc)
+    dots = mxu_ms(2 * F, spad, tc, calls=chunks * k)
+    vpu = vpu_ms((2 * tc * spad + 4 * 2 * F * spad) * chunks * k)
+    return dots, vpu
+
+
+def sa_bwd2_call(g: Geometry, C, N, k, c1, c2, two_layer, cc=512):
+    """_sa_train_bwd2: per (batch, centroid-chunk), k passes of q-gather
+    (2c1, cc, K=G), optional layer-2 dots, one-hot (G, cc), BN-backward
+    epilogue, and the transposed dq scatter dot (2c1, G, K=cc)."""
+    G = _sa_G(N, k)
+    chunks = g.B * cdiv(C, cc)
+    gather = mxu_ms(2 * c1, cc, G, calls=chunks * k)
+    l2 = (
+        mxu_ms(2 * c1, cc, c2, calls=chunks * k)
+        + mxu_ms(c1, cc, c2, calls=chunks * k)
+        if two_layer
+        else 0.0
+    )
+    scat = mxu_ms(2 * c1, G, cc, calls=chunks * k)
+    # one-hot build (G, cc) ~2 ops; epilogue/relu/BN-bwd ~14 ops on (c1, cc)
+    vpu = vpu_ms((2 * G * cc + 14 * c1 * cc) * chunks * k)
+    return gather + l2 + scat, vpu
+
+
+def sa_bwd1_call(g: Geometry, C, N, k, c1, c2, cc=512):
+    """_sa_train_bwd1 (2-layer stages): q-gather + fwd-remat layer-2 dot +
+    dW2/db2 dots + dy1 dots + correction-sum reductions."""
+    G = _sa_G(N, k)
+    chunks = g.B * cdiv(C, cc)
+    gather = mxu_ms(2 * c1, cc, G, calls=chunks * k)
+    l2_fwd = mxu_ms(c2, cc, c1, calls=chunks * k)
+    dw2 = mxu_ms(c2, 2 * c1, cc, calls=chunks * k) + mxu_ms(
+        c2, c1, cc, calls=chunks * k
+    )
+    dy1 = mxu_ms(2 * c1, cc, c2, calls=chunks * k) + mxu_ms(
+        c1, cc, c2, calls=chunks * k
+    )
+    vpu = vpu_ms((2 * G * cc + 16 * max(c1, c2) * cc) * chunks * k)
+    return gather + l2_fwd + dw2 + dy1, vpu
+
+
+def _sa_G(N, k):
+    """SA train kernels keep the 128-lane-aligned grouped layout."""
+    return cdiv(cdiv(N, k), 128) * 128
+
+
+def pixel_max_call(g: Geometry, n_pix=400, c=4, nc=512):
+    """_pixel_max_kernel: per (cloud, chunk-iteration), per-channel masked
+    compare + max/argmax over (P2p, nc) tiles (pure VPU)."""
+    p2p = cdiv(n_pix, 8) * 8
+    chunks = cdiv(g.N + 32 * 32, nc)  # + fake ground points
+    vpu = vpu_ms(c * 6 * p2p * nc * chunks * g.B)
+    return 0.0, vpu
 
 
 def main():
@@ -110,21 +175,64 @@ def main():
                  "MXU one-hot gather dots (padded M=2F+6->128, K=S)"))
 
     # ball_query: bq1 (C1 cents, N pts, k1 groups) + bq2 (C2, C1, k2)
-    bm1, bv1 = selection_call(g, g.C1, g.N, g.k1, 0)
-    bm2, bv2 = selection_call(g, g.C2, g.C1, g.k2, 0)
-    rows.append(("ball_query (bq1+bq2)", bm1 + bm2, bv1 + bv2, 0.1, 1.96,
-                 "VPU packed-min over (G, cc) tiles + K=9 distance dots"))
+    # round 5: groups 8-aligned, d2 finished inside the 13-wide dot -> the
+    # per-element VPU work is just the packed-key/min sweep (~3 ops)
+    bm1, bv1 = selection_call(g, g.C1, g.N, g.k1, 0, galign=8, vops=3)
+    bm2, bv2 = selection_call(g, g.C2, g.C1, g.k2, 0, galign=8, vops=3)
+    rows.append(("ball_query (bq1+bq2)", bm1 + bm2, bv1 + bv2, 0.1, 0.94,
+                 "13-wide finished-d2 dots + packed-min sweeps (8-row G)"))
 
-    # sa_train_main: SA1 distances + q one-hot gather (2*C1CH rows)
-    sm, sv = selection_call(g, g.C1, g.N, g.k1, 2 * g.C1CH)
-    rows.append(("sa_train_main (SA1)", sm, sv, 0.15, 1.28,
-                 "same selection shape + q gather dot"))
+    # sa_train_main: q one-hot gather + layer-2 + stats/max epilogue
+    # (idx/mask come from ball_query — no distance dots of its own)
+    G1m = _sa_G(g.N, g.k1)
+    chm = g.B * cdiv(g.C1, 512)
+    sm = mxu_ms(2 * g.C1CH, 512, G1m, calls=chm * g.k1) + mxu_ms(
+        g.C1CH, 512, g.C1CH, calls=chm * g.k1
+    )
+    sv = vpu_ms((2 * G1m * 512 + 20 * g.C1CH * 512) * chm * g.k1)
+    rows.append(("sa_train_main (SA1)", sm, sv, 0.15, 1.10,
+                 "one-hot q gather + layer-2 dot + stats/max-min epilogue"))
 
     # fps: serial-dependency bound, not throughput
     fps_iters = g.C1 // 2  # fps_parts=2
     rows.append(("fps (parts=2)", 0.0, 0.0, 0.0, 1.95,
                  f"SERIAL: {fps_iters} dependent iterations -> "
                  f"{1.95e3 / fps_iters:.2f} us/iter loop latency"))
+
+    # ---- backward kernels (VERDICT r4 item 4) ----
+    # knn_scatter_bwd: FP1 (T=N -> S=C1, F=34) + FP2 (T=C1 -> S=C2, F=64)
+    s1m, s1v = scatter_call(g, g.N, g.C1, g.F_FP1, 512)
+    s2m, s2v = scatter_call(g, g.C1, g.C2, g.F_FP2, 512)
+    rows.append(("knn_scatter_bwd", s1m + s2m, s1v + s2v, 0.05, 1.68,
+                 "transposed one-hot scatter dots (2F, SP, K=tc)"))
+
+    # sa_train_bwd2: SA1 (two-layer, c1=16) + SA2 (single, c1=32)
+    b2m1, b2v1 = sa_bwd2_call(g, g.C1, g.N, g.k1, 16, 16, True)
+    b2m2, b2v2 = sa_bwd2_call(g, g.C2, g.C1, g.k2, 32, 32, False)
+    rows.append(("sa_train_bwd2", b2m1 + b2m2, b2v1 + b2v2, 0.1, 2.20,
+                 "q-gather + BN-bwd epilogue + transposed dq scatter dots"))
+
+    # sa_train_bwd1: SA1 only (the 2-layer stage)
+    b1m, b1v = sa_bwd1_call(g, g.C1, g.N, g.k1, 16, 16)
+    rows.append(("sa_train_bwd1 (SA1)", b1m, b1v, 0.05, 1.22,
+                 "q-gather + remat layer-2 + dW2/dy1 dots + corr sums"))
+
+    # sa_train_stats1: one q-gather + relu + masked sum/sum-sq per pass
+    # (no distance dots — idx/mask come from ball_query)
+    G1 = _sa_G(g.N, g.k1)
+    ch1 = g.C1CH
+    chunks1 = g.B * cdiv(g.C1, 512)
+    st_m = mxu_ms(2 * ch1, 512, G1, calls=chunks1 * g.k1)
+    st_v = vpu_ms((2 * G1 * 512 + 8 * ch1 * 512) * chunks1 * g.k1)
+    rows.append(("sa_train_stats1 (SA1)", st_m, st_v, 0.05, 0.39,
+                 "one-hot q-gather + masked sum/sum-sq reductions"))
+
+    # pixel_max fwd (+ its compare-routed bwd at ~1/4 the passes)
+    pm, pv = pixel_max_call(g)
+    rows.append(("pixel_max fwd", pm, pv, 0.1, 0.91,
+                 "pure-VPU masked compare+max over (P2, nc) tiles"))
+    rows.append(("pixel_max bwd", 0.0, pv * 0.25, 0.05, 0.19,
+                 "argmax-routed cotangent compare (1 pass per channel)"))
 
     print(f"{'op':26s} {'MXU ms':>7s} {'VPU ms':>7s} {'HBM ms':>7s} "
           f"{'max-bnd':>8s} {'sum-bnd':>8s} {'meas r3':>8s} {'of-sum':>6s}  bound")
@@ -140,8 +248,9 @@ def main():
         tot_bound += bsum
         print(f"{name:26s} {m:7.2f} {v:7.2f} {io:7.2f} {bmax:8.2f} "
               f"{bsum:8.2f} {meas:8.2f} {eff:5.0%}  {note}")
-    print(f"\ntop-op no-overlap bound total {tot_bound:.2f} ms vs measured "
-          f"{tot_meas:.2f} ms (r3 device step total 16.8 ms)")
+    print(f"\nmodeled-op no-overlap bound total {tot_bound:.2f} ms vs "
+          f"measured {tot_meas:.2f} ms (r5 trace-sum 15.78 ms incl. "
+          "~1.1 ms of XLA fusions/copies outside these kernels)")
 
     # Useful-FLOP MFU for the whole step, for perspective: the model's
     # actual math (MLPs over points + selection epilogues).

@@ -951,12 +951,13 @@ def _sa_kernel(
     blk: int,
     compact_q: bool = False,
 ):
-    def kernel(centt_ref, ctermt_ref, x9_ref, pn_ref, q_ref, aff_ref, w2t_ref, out_ref):
+    def kernel(centt_ref, ctermt_ref, x13_ref, q_ref, aff_ref, w2t_ref, out_ref):
         # centt (1,3,CC) TRANSPOSED centroids; ctermt (1,C1,CC) transposed
-        # centroid terms; x9 (1,nb,9,blk*G) bf16 hi/lo rows; pn
-        # (1,nb,1,blk*G) f32 norms; q (1,nb,C1,blk*G) f32
-        # (channel-on-sublane / points-on-lane layout: the G axis sits on
-        # lanes so the small channel axes don't pad to 128)
+        # centroid terms; x13 (1,nb,13,blk*G) — or (1,13,Npad) compact —
+        # bf16 rows [x9 hi/hi/lo | pn_hi | pn_lo | 1 | 1]; q
+        # (1,nb,C1,blk*G) f32 (channel-on-sublane / points-on-lane layout:
+        # the G axis sits on lanes so the small channel axes don't pad to
+        # 128), or compact (1,C1,Npad);
         # aff (6, Cmax): rows a1,c1,b2,a2,c2,unused; w2t (C2,C1) transposed
         # out (1, C2, CC) transposed
         #
@@ -970,6 +971,12 @@ def _sa_kernel(
         # C1=16 rides the 8-padded M dim instead of the 128-padded N dim
         # (8x less MXU work), and the affine/relu/max epilogue touches 4x
         # fewer vregs ((16, CC) tiles vs (CC, 128-padded-16)).
+        #
+        # Round 5 (docs/KERNELS.md bq section, applied here too): the
+        # 13-wide contraction against [-2c9 | 1 | 1 | cn_hi | cn_lo] emits
+        # FINISHED d2 tiles at the same MXU cost as the 9-wide cross term;
+        # pad/n_valid masking rides host-POISONED pn rows (1e30), so zero
+        # per-element assemble or masking VPU work remains.
         cc = centt_ref.shape[2]
         c1 = q_ref.shape[1] if compact_q else q_ref.shape[2]
         c2 = out_ref.shape[1]
@@ -978,10 +985,15 @@ def _sa_kernel(
         cn = jnp.sum(c3 * c3, axis=0, keepdims=True)  # (1, CC)
         hi = c3.astype(jnp.bfloat16)
         lo = (c3 - hi.astype(jnp.float32)).astype(jnp.bfloat16)
-        c9t = jnp.concatenate([hi, lo, hi], axis=0)  # (9, CC), pairs x9 rows
+        cnh = cn.astype(jnp.bfloat16)
+        cnl = (cn - cnh.astype(jnp.float32)).astype(jnp.bfloat16)
+        one = jnp.ones((1, cc), jnp.bfloat16)
+        c13t = jnp.concatenate(
+            [-2.0 * hi, -2.0 * lo, -2.0 * hi, one, one, cnh, cnl], axis=0
+        )  # (13, CC), pairs x13 rows; -2 scale is exact (power of two)
         a1 = aff_ref[0, :c1][:, None]
         c1v = aff_ref[1, :c1][:, None]
-        dn_ab = (((0,), (0,)), ((), ()))  # x9s (9, G) . c9t (9, CC) -> (G, CC)
+        dn_ab = (((0,), (0,)), ((), ()))  # x13 (13, L) . c13t (13, CC)
         dn_gather = (((1,), (0,)), ((), ()))  # (C1, G) @ (G, CC)
 
         def epilogue(sel, valid, maxacc):
@@ -997,7 +1009,7 @@ def _sa_kernel(
 
         if compact_q:
             # COMPACT path (g_real << LANE, blk == LANE/g_real, g_real % 8
-            # == 0): q/xyz/pn stay COMPACT (C, N) in HBM — the _block_layout
+            # == 0): q/x13 stay COMPACT (C, N) in HBM — the _block_layout
             # lane pad (8x at the SA2 bench shape) + its relayout copy were
             # the top two non-kernel ops of the eval step. Each kernel block
             # covers EXACTLY one 128-lane tile = blk whole groups, so:
@@ -1007,33 +1019,23 @@ def _sa_kernel(
             #   * the per-group argmin is a static SUBLANE slice (g_real
             #     rows, 8-aligned) of that tile;
             #   * the winner one-hot keeps its (LANE, CC) contraction.
-            # Selection algebra is thinned for the unpacked argmin: the
-            # centroid norm is constant per column so argmin(pn - 2ab) ==
-            # argmin(d2), and the radius test moves to dmin' <= r2 - cn
-            # (one (1, CC) row op instead of two (LANE, CC) passes). The
-            # -2 rides the bf16 c9t split (exact power-of-2 scale), and
-            # lane-pad/n_valid masking rides POISONED pn rows (host-set
-            # 3.4e38: padded points lose every argmin and fail every
-            # radius test with zero in-kernel mask ops).
+            # Always unpacked (g_real < 256): min/argmin/compare are
+            # sign-safe, so no >= 0 clamp is needed on the dot's output.
             lane_b = blk * g_real
             rowc = jax.lax.broadcasted_iota(jnp.int32, (lane_b, cc), 0)
-            c9t2 = -2.0 * c9t.astype(jnp.float32)
-            c9t2 = c9t2.astype(jnp.bfloat16)
-            rthr = r2 - cn  # (1, CC)
 
             def body_c(bi, maxacc):
-                x9b = x9_ref[0, :, pl.ds(bi * lane_b, lane_b)]  # (9, LANE)
-                pnb = pn_ref[0, :, pl.ds(bi * lane_b, lane_b)]  # (1, LANE)
+                x13b = x13_ref[0, :, pl.ds(bi * lane_b, lane_b)]  # (13, LANE)
                 qb = q_ref[0, :, pl.ds(bi * lane_b, lane_b)]
                 qhl = _sa_hilo_stack(qb)  # (2C1, LANE)
-                d2p = jnp.swapaxes(pnb, 0, 1) + jax.lax.dot_general(
-                    x9b, c9t2, dn_ab, preferred_element_type=jnp.float32
-                )  # (LANE, CC) = |x|^2 - 2 x.c (norm-less; see note above)
+                d2p = jax.lax.dot_general(
+                    x13b, c13t, dn_ab, preferred_element_type=jnp.float32
+                )  # (LANE, CC) finished d2 (poisoned rows ~1e30)
                 for l in range(blk):
                     d2l = d2p[l * g_real : (l + 1) * g_real]  # (g_real, CC)
                     dmin = jnp.min(d2l, axis=0, keepdims=True)
                     idx = jnp.argmin(d2l, axis=0).astype(jnp.int32)[None, :]
-                    valid = dmin <= rthr  # (1, CC)
+                    valid = dmin <= r2  # (1, CC)
                     onehot_t = (rowc == (l * g_real + idx)).astype(
                         jnp.bfloat16
                     )  # (LANE, CC)
@@ -1048,33 +1050,32 @@ def _sa_kernel(
             out_ref[0] = jax.lax.fori_loop(0, k // blk, body_c, init)
             return
 
-        g = x9_ref.shape[3] // blk
-        rowg = jax.lax.broadcasted_iota(jnp.int32, (g, 1), 0)
+        g = q_ref.shape[3] // blk
         rowg2 = jax.lax.broadcasted_iota(jnp.int32, (g, cc), 0)
         packed = _use_packed(g)
         nbits = max(1, (g - 1).bit_length())
         low = (1 << nbits) - 1
 
         def body(bi, maxacc):
-            x9b = x9_ref[0, bi]  # (9, blk*G) bf16
-            pnb = pn_ref[0, bi]  # (1, blk*G) f32
+            x13b = x13_ref[0, bi]  # (13, blk*G) bf16
             qb = q_ref[0, bi]  # (C1, blk*G) f32
             # stacked hi/lo split so the one-hot gather runs as ONE bf16
             # matmul while returning the q values f32-exact (to lo
             # rounding, ~2^-17 relative) — 6x cheaper than a HIGHEST
             # f32 matmul
             qhl = _sa_hilo_stack(qb)  # (2C1, blk*G)
+            # ONE block-wide dot for all blk groups (the old per-group dots
+            # recomputed lane slices); per-group views are SUBLANE slices
+            d2_t = jax.lax.dot_general(
+                x13b, c13t, dn_ab, preferred_element_type=jnp.float32
+            )  # (blk*G, CC) finished d2 (poisoned rows ~1e30)
             for l in range(blk):
-                gi = bi * blk + l
                 sl = slice(l * g, (l + 1) * g)
-                ab_t = jax.lax.dot_general(
-                    x9b[:, sl], c9t, dn_ab, preferred_element_type=jnp.float32
-                )  # (G, CC) cross terms
-                xn_col = jnp.swapaxes(pnb[:, sl], 0, 1)  # (G, 1)
-                d2 = jnp.maximum(xn_col + cn - 2.0 * ab_t, 0.0)  # (G, CC)
-                pad = (rowg >= g_real) | ((gi * g_real + rowg) >= n_valid)
-                d2 = jnp.where(pad, jnp.float32(3.4e38), d2)
                 if packed:
+                    # bit-trick needs d2 >= 0 (docs/KERNELS.md r3 lesson);
+                    # hi/lo rounding can leave small negatives near
+                    # self-matches
+                    d2 = jnp.maximum(d2_t[sl], 0.0)  # (G, CC)
                     key = (
                         jax.lax.bitcast_convert_type(d2, jnp.int32) & ~low
                     ) | rowg2
@@ -1082,6 +1083,7 @@ def _sa_kernel(
                     idx = kmin & low  # (1, CC)
                     dmin = jax.lax.bitcast_convert_type(kmin & ~low, jnp.float32)
                 else:
+                    d2 = d2_t[sl]
                     dmin = jnp.min(d2, axis=0, keepdims=True)
                     idx = jnp.argmin(d2, axis=0).astype(jnp.int32)[None, :]
                 valid = dmin <= r2  # (1, CC)
@@ -1146,30 +1148,49 @@ def sa_fused_eval(
     nb = k // blk
     # Narrow groups (g_real << LANE) lane-pad the grouped tables by up to
     # LANE/g_real (8x at the SA2 bench shape) and force relayout copies —
-    # the top two non-kernel ops of the eval step. Keep q AND xyz/pn
-    # COMPACT (B, C, N) there; the kernel slices one 128-lane tile per
-    # block and serves all its groups from ONE distance dot
-    # (see _sa_kernel compact path). Lane-pad/n_valid masking is encoded
-    # by POISONING pn: a 3.4e38 row norm loses every argmin and fails
-    # every radius test, so the kernel needs no pad mask at all.
+    # the top two non-kernel ops of the eval step. Keep q AND the x13
+    # distance table COMPACT (B, C, N) there; the kernel slices one
+    # 128-lane tile per block and serves all its groups from ONE distance
+    # dot (see _sa_kernel compact path). Both modes: the 13-row x table
+    # is [x9 | pn_hi | pn_lo | 1 | 1] with lane-pad/n_valid masking
+    # POISONED into pn (1e30, bf16-finite: padded points lose every
+    # argmin and fail every radius test — no in-kernel pad mask).
+    def _x13(xt, pad_mask):
+        pn = jnp.sum(xt * xt, axis=-2, keepdims=True)
+        pn = jnp.where(pad_mask, jnp.float32(1e30), pn)
+        pnh = jax.lax.reduce_precision(pn, exponent_bits=8, mantissa_bits=7)
+        ones = jnp.ones(pn.shape[:-2] + (2,) + pn.shape[-1:], jnp.bfloat16)
+        return jnp.concatenate(
+            [
+                _hilo9_rows(xt),
+                pnh.astype(jnp.bfloat16),
+                (pn - pnh).astype(jnp.bfloat16),
+                ones,
+            ],
+            axis=-2,
+        )
+
     if compact_q:
         npadl = _round_up(n, _LANE)
         qg = jnp.swapaxes(q.astype(jnp.float32), 1, 2)  # (B, C1, N)
         xt = jnp.swapaxes(xyz.astype(jnp.float32), 1, 2)  # (B, 3, N)
-        pn = jnp.sum(xt * xt, axis=1, keepdims=True)  # (B, 1, N)
         if npadl != n:
             qg = jnp.pad(qg, ((0, 0), (0, 0), (0, npadl - n)))
             xt = jnp.pad(xt, ((0, 0), (0, 0), (0, npadl - n)))
-            pn = jnp.pad(
-                pn,
-                ((0, 0), (0, 0), (0, npadl - n)),
-                constant_values=3.4e38,
-            )
-        x9 = _hilo9_rows(xt)  # (B, 9, npadl) bf16
+        pad_mask = (jnp.arange(npadl) >= n)[None, None, :]
+        x13 = _x13(xt, pad_mask)  # (B, 13, npadl) bf16
     else:
         xb = _block_layout(xyz.astype(jnp.float32), k, blk, g_real, g)
-        x9 = _hilo9_rows(xb)  # (B, nb, 9, blk*G) bf16
-        pn = jnp.sum(xb * xb, axis=2, keepdims=True)  # (B, nb, 1, blk*G)
+        # lane j of block bi holds group l = j // g, within-row j % g; real
+        # iff row < g_real and (bi*blk + l)*g_real + row < n
+        lane = jnp.arange(blk * g)
+        row = lane % g
+        orig = (
+            (jnp.arange(nb)[:, None] * blk + (lane // g)[None, :]) * g_real
+            + row[None, :]
+        )  # (nb, blk*G)
+        pad_mask = ((row >= g_real)[None, :] | (orig >= n))[None, :, None, :]
+        x13 = _x13(xb, pad_mask)  # (B, nb, 13, blk*G) bf16
         qg = _block_layout(q.astype(jnp.float32), k, blk, g_real, g)
 
     cpad = _round_up(c, cc)
@@ -1192,21 +1213,15 @@ def sa_fused_eval(
         q_spec = pl.BlockSpec(
             (1, ch1, qg.shape[2]), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM
         )
-        x9_spec = pl.BlockSpec(
-            (1, 9, x9.shape[2]), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM
-        )
-        pn_spec = pl.BlockSpec(
-            (1, 1, pn.shape[2]), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM
+        x13_spec = pl.BlockSpec(
+            (1, 13, x13.shape[2]), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM
         )
     else:
         q_spec = pl.BlockSpec(
             (1, nb, ch1, blk * g), lambda i, j: (i, 0, 0, 0), memory_space=pltpu.VMEM
         )
-        x9_spec = pl.BlockSpec(
-            (1, nb, 9, blk * g), lambda i, j: (i, 0, 0, 0), memory_space=pltpu.VMEM
-        )
-        pn_spec = pl.BlockSpec(
-            (1, nb, 1, blk * g), lambda i, j: (i, 0, 0, 0), memory_space=pltpu.VMEM
+        x13_spec = pl.BlockSpec(
+            (1, nb, 13, blk * g), lambda i, j: (i, 0, 0, 0), memory_space=pltpu.VMEM
         )
     outt = pl.pallas_call(
         _sa_kernel(k, g_real, n, float(radius) ** 2, two_layer, blk, compact_q),
@@ -1215,8 +1230,7 @@ def sa_fused_eval(
         in_specs=[
             pl.BlockSpec((1, 3, cc), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, ch1, cc), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM),
-            x9_spec,
-            pn_spec,
+            x13_spec,
             q_spec,
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -1227,7 +1241,7 @@ def sa_fused_eval(
         out_shape=jax.ShapeDtypeStruct((b, ch2, cpad), jnp.float32),
         interpret=jax.default_backend() != "tpu",
     )(
-        centt, ctermt, x9, pn, qg, aff, w2t
+        centt, ctermt, x13, qg, aff, w2t
     )
     return jnp.swapaxes(outt, 1, 2)[:, :c]
 
