@@ -78,6 +78,12 @@ def main():
     ap.add_argument("--subsample_size", type=int, default=4096)
     ap.add_argument("--ball_query_method", default="grouped", choices=["grouped", "nearest"])
     ap.add_argument("--seed", type=int, default=0, help="data + training seed")
+    ap.add_argument(
+        "--fps_parts", type=int, default=0,
+        help="partitioned-FPS parts override (0 = config default); the "
+        "r4 roofline flags parts as a serial-latency lever whose cost is "
+        "sampling approximation — this sweep measures the MAE side",
+    )
     ns = ap.parse_args()
 
     from dataclasses import replace
@@ -108,6 +114,11 @@ def main():
             cfg.model,
             subsample_size=ns.subsample_size,
             ball_query_method=ns.ball_query_method,
+            **(
+                {"fps_parts": ns.fps_parts, "fps_min_part_samples": 1}
+                if ns.fps_parts
+                else {}
+            ),
         ),
         train=replace(
             cfg.train, n_epoch=ns.epochs, n_epoch_test=max(ns.epochs // 4, 1),
@@ -138,6 +149,7 @@ def main():
             {
                 "seed": ns.seed,
                 "policy": ns.ball_query_method,
+                "fps_parts": ns.fps_parts,
                 "epochs": ns.epochs,
                 "n_plots": ns.n_plots,
                 "val_MAE": float(final_mae),

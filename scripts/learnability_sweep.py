@@ -25,20 +25,33 @@ def main():
     ap.add_argument("--epochs", type=int, default=150)
     ap.add_argument("--n_plots", type=int, default=60)
     ap.add_argument("--seeds", type=int, nargs="+", default=[0, 1, 2])
+    ap.add_argument(
+        "--fps_parts", type=int, nargs="+", default=None,
+        help="sweep partitioned-FPS parts (VERDICT r4 item 3) instead of "
+        "ball-query policies; e.g. --fps_parts 2 4 8",
+    )
     ap.add_argument("--out", default="/tmp/learnability_sweep.jsonl")
     ns = ap.parse_args()
 
     me = os.path.dirname(os.path.abspath(__file__))
+    if ns.fps_parts:
+        variants = [("--fps_parts", str(p), f"parts={p}") for p in ns.fps_parts]
+        key = "fps_parts"
+    else:
+        variants = [
+            ("--ball_query_method", pol, pol) for pol in ("grouped", "nearest")
+        ]
+        key = "policy"
     records = []
     with open(ns.out, "a") as sink:
         for seed in ns.seeds:
-            for policy in ("grouped", "nearest"):
+            for flag, val, label in variants:
                 cmd = [
                     sys.executable, os.path.join(me, "learnability_check.py"),
                     "--epochs", str(ns.epochs), "--n_plots", str(ns.n_plots),
-                    "--seed", str(seed), "--ball_query_method", policy,
+                    "--seed", str(seed), flag, val,
                 ]
-                print(f"== seed {seed} policy {policy} ==", flush=True)
+                print(f"== seed {seed} {label} ==", flush=True)
                 r = subprocess.run(cmd, capture_output=True, text=True)
                 summary = None
                 for line in r.stdout.splitlines():
@@ -56,15 +69,16 @@ def main():
 
     import numpy as np
 
-    for policy in ("grouped", "nearest"):
-        maes = [r["val_MAE"] for r in records if r["policy"] == policy]
-        base = [r["baseline_MAE"] for r in records if r["policy"] == policy]
+    groups = sorted({r[key] for r in records}, key=str)
+    for gval in groups:
+        maes = [r["val_MAE"] for r in records if r[key] == gval]
+        base = [r["baseline_MAE"] for r in records if r[key] == gval]
         if maes:
             print(
                 "SWEEP_SUMMARY "
                 + json.dumps(
                     {
-                        "policy": policy,
+                        key: gval,
                         "n_runs": len(maes),
                         "val_MAE_mean": float(np.mean(maes)),
                         "val_MAE_std": float(np.std(maes)),

@@ -147,6 +147,11 @@ class DataConfig:
     # speed. The tail chunk is padded with all-invalid batches to keep a
     # single compiled program shape. 1 disables chaining (per-batch path).
     predict_chain: int = 8
+    # Write the per-plot intermediate GeoTIFFs (the reference's
+    # intermediate_tiff_folder artifacts, predict.py:113-126). Off by
+    # default: the drain loop merges in-memory tiles and only the merged
+    # parcel tif — the worklist done-marker — hits disk.
+    keep_plot_tiffs: bool = False
 
 
 @dataclass(frozen=True)
@@ -229,6 +234,9 @@ def _add_flags(p: argparse.ArgumentParser) -> None:
         default=None,
     )
     p.add_argument("--predict_chain", type=int, default=None)
+    p.add_argument(
+        "--keep_plot_tiffs", action="store_const", const=True, default=None
+    )
     p.add_argument("--min_points_for_pseudo_labelling", type=int, default=None)
     # namespace-only (consumed by cli/main): shard the POINT axis across
     # devices for training — the context-parallel analogue for dense clouds
@@ -270,7 +278,7 @@ def parse_config(argv: Optional[list] = None) -> Tuple[Config, argparse.Namespac
                 "corrected_gt_file_path", "las_parcels_folder_path",
                 "parcel_shapefile_path", "plots_pickled_dataset_path",
                 "transfer_dtype", "device_resident", "predict_chain",
-                "min_points_for_pseudo_labelling",
+                "keep_plot_tiffs", "min_points_for_pseudo_labelling",
             ],
         ),
     )

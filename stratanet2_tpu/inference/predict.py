@@ -292,6 +292,13 @@ def predict_parcel(
             if max_batches is not None and i + 1 >= max_batches:
                 break
 
+    # In-memory tiles by default: the per-plot tif write+read pairs were
+    # pure host overhead on the serve path (the merged tif alone is the
+    # worklist done-marker); --keep_plot_tiffs restores the reference's
+    # intermediate artifacts (predict.py:113-126).
+    from stratanet2_tpu.inference.geotiff import GeoTiff
+
+    mem_tiles = []
     for metas, rasters_s, preds_s in pending:
         # one blocking fetch per program call (stacks, not per-batch slices:
         # each device-side slice would be its own dispatch through the relay)
@@ -308,13 +315,18 @@ def predict_parcel(
                     with_weights = add_weights_band_to_rasters(
                         rasters[j], cfg.model.diam_pix
                     )
-                    write_geotiff(
-                        os.path.join(tiff_folder, f"{plot_id}.tif"),
-                        with_weights,
-                        get_geotransform(
-                            batch["plot_center"][j], cfg.model.diam_meters, cfg.model.diam_pix
-                        ),
+                    gt = get_geotransform(
+                        batch["plot_center"][j], cfg.model.diam_meters, cfg.model.diam_pix
                     )
+                    mem_tiles.append(
+                        GeoTiff(bands=with_weights, geotransform=list(gt))
+                    )
+                    if cfg.data.keep_plot_tiffs:
+                        write_geotiff(
+                            os.path.join(tiff_folder, f"{plot_id}.tif"),
+                            with_weights,
+                            gt,
+                        )
 
     if is_pseudo:
         # DEV's max_batches cap can leave plots unpredicted (the reference
@@ -339,19 +351,10 @@ def predict_parcel(
         return out_path
 
     final_tif = os.path.join(output_folder, f"{parcel_id}.tif")
-    # If every plot in the parcel was invalid (all-padding batches) the tiff
-    # folder was never created; the reference tolerates this via its merge
-    # returning "Nothing to merge" (inference/geotiff_raster.py:203-207).
-    tile_paths = (
-        [
-            os.path.join(tiff_folder, f)
-            for f in sorted(os.listdir(tiff_folder))
-            if f.endswith(".tif")
-        ]
-        if os.path.isdir(tiff_folder)
-        else []
-    )
-    msg = merge_geotiff_rasters(final_tif, tile_paths, parcel_shape)
+    # If every plot in the parcel was invalid (all-padding batches) there
+    # are no tiles; the reference tolerates this via its merge returning
+    # "Nothing to merge" (inference/geotiff_raster.py:203-207).
+    msg = merge_geotiff_rasters(final_tif, (), parcel_shape, tiles=mem_tiles)
     logger.info(msg)
     return final_tif if os.path.exists(final_tif) else None
 
