@@ -128,8 +128,10 @@ def sa_bwd2_call(g: Geometry, C, N, k, c1, c2, two_layer, cc=512):
         else 0.0
     )
     scat = mxu_ms(2 * c1, G, cc, calls=chunks * k)
-    # one-hot build (G, cc) ~2 ops; epilogue/relu/BN-bwd ~14 ops on (c1, cc)
-    vpu = vpu_ms((2 * G * cc + 14 * c1 * cc) * chunks * k)
+    # one-hot build (G, cc) ~2 ops; the full remat + BN-bwd epilogue
+    # (h1/y1/u/h2/xhat/dy/du/hi-lo splits/de0) is ~30 ops on (c1, cc)
+    # tiles (counted off the kernel body, round 5)
+    vpu = vpu_ms((2 * G * cc + 30 * c1 * cc) * chunks * k)
     return gather + l2 + scat, vpu
 
 
