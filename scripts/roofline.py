@@ -171,9 +171,12 @@ def main():
     rows = []
 
     # knn_fwd: FP1 (T=N, S=C1, F=34, tc=512) + FP2 (T=C1, S=C2, F=64, tc=1024)
+    # round 5: the 11-wide finished-dpart dot deleted the per-chunk d2
+    # assemble (3.66 -> 3.205 measured — BELOW the old bound: the r4
+    # "cannot be scheduled faster" proof only bounded the old op mix)
     m1, v1, io1 = knn_call(g, g.N, g.C1, g.F_FP1, 512)
     m2, v2, io2 = knn_call(g, g.C1, g.C2, g.F_FP2, 1024)
-    rows.append(("knn_fwd", m1 + m2, v1 + v2, io1 + io2, 3.66,
+    rows.append(("knn_fwd", m1 + m2, v1 + v2, io1 + io2, 3.205,
                  "MXU one-hot gather dots (padded M=2F+6->128, K=S)"))
 
     # ball_query: bq1 (C1 cents, N pts, k1 groups) + bq2 (C2, C1, k2)

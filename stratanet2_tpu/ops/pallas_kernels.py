@@ -300,13 +300,13 @@ def fps_pallas(xyz: jax.Array, n_samples: int, start_idx: jax.Array) -> jax.Arra
 
 
 def _knn_kernel(k: int, s_valid: int):
-    def kernel(tgtt_ref, src9_ref, sn_ref, featt_ref, out_ref, idx_ref, w_ref):
-        # tgtt_ref: (1, 3, TC) TRANSPOSED targets; src9 (1, 9, S) bf16 hi/lo
-        # rows; sn (1, 1, S) f32 norms; featt_ref: (1, F, S) transposed
-        # out_ref: (1, F, TC) transposed; idx_ref/w_ref: (1, k, TC)
+    def kernel(tgtt_ref, src11_ref, featt_ref, out_ref, idx_ref, w_ref):
+        # tgtt_ref: (1, 3, TC) TRANSPOSED targets; src11 (1, 11, S) bf16
+        # rows [x9 hi/hi/lo | sn_hi | sn_lo]; featt_ref: (1, F, S)
+        # transposed; out_ref: (1, F, TC) transposed; idx/w: (1, k, TC)
         #
         # Fully transposed orientation (same playbook as _sa_kernel): the
-        # distance tile is (S, TC) via a dim-0-contracted dot of src9 (9, S)
+        # distance tile is (S, TC) via a dim-0-contracted dot of src rows
         # against the hi/lo split of the transposed targets, so each argmin
         # reduces over sublanes and yields a lane-major index — the one-hot
         # builds with no sublane<->lane relayout, and the gather matmul
@@ -316,25 +316,31 @@ def _knn_kernel(k: int, s_valid: int):
         # broadcast relayout per pass — that, not the small-M matmuls, is
         # what made it slow.) Feature values ride explicit hi/lo bf16: in
         # this orientation Mosaic demotes a single f32 dot to one bf16 pass.
+        #
+        # Round 5: the 11-wide contraction against [-2t9 | 1 | 1] emits the
+        # finished selection metric dpart = |x|^2 - 2 x.t in ONE dot (the
+        # target norm is constant per lane and cannot change the argmin) —
+        # the per-chunk xn relayout + subtract + pad-where disappear. The
+        # r3b rejection of a "norm-folded 11-row dot" was its SINGLE bf16
+        # norm row (1e-3-scale d2 error); sn here rides a hi/lo SPLIT
+        # (~2^-17 relative, the same scale as the existing cross-term
+        # error). Exact dmin is still recovered by direct subtraction
+        # against the GATHERED winner coordinates, so weights stay exact.
+        # Callers that lane-pad sources must poison the sn rows (1e30).
         tc = tgtt_ref.shape[2]
-        s = src9_ref.shape[2]
+        s = src11_ref.shape[2]
         tgt3 = tgtt_ref[0]  # (3, TC) f32
         thi = tgt3.astype(jnp.bfloat16)
         tlo = (tgt3 - thi.astype(jnp.float32)).astype(jnp.bfloat16)
-        t9t = jnp.concatenate([thi, tlo, thi], axis=0)  # (9, TC)
-        dn_ab = (((0,), (0,)), ((), ()))  # src9 (9, S) . t9t (9, TC) -> (S, TC)
-        ab_t = jax.lax.dot_general(
-            src9_ref[0], t9t, dn_ab, preferred_element_type=jnp.float32
-        )
-        xn_col = jnp.swapaxes(sn_ref[0], 0, 1)  # (S, 1)
-        rows = jax.lax.broadcasted_iota(jnp.int32, (s, 1), 0)
+        one = jnp.ones((1, tc), jnp.bfloat16)
+        t11t = jnp.concatenate(
+            [-2.0 * thi, -2.0 * tlo, -2.0 * thi, one, one], axis=0
+        )  # (11, TC); -2 scale is exact (power of two)
+        dn_ab = (((0,), (0,)), ((), ()))  # src11 (11, S) . t11t (11, TC)
+        dpart = jax.lax.dot_general(
+            src11_ref[0], t11t, dn_ab, preferred_element_type=jnp.float32
+        )  # (S, TC) finished selection metric
         rows2 = jax.lax.broadcasted_iota(jnp.int32, (s, tc), 0)
-        # dpart excludes the per-target norm (constant per lane: it cannot
-        # change the argmin); the exact dmin is recovered below by direct
-        # subtraction against the GATHERED winner coordinates, so no jnp.min
-        # pass over the (S, TC) tile is ever needed.
-        dpart = xn_col - 2.0 * ab_t  # (S, TC)
-        dpart = jnp.where(rows >= s_valid, jnp.float32(3.4e38), dpart)
 
         featst = featt_ref[0]  # (F, S)
         fhi = featst.astype(jnp.bfloat16)
@@ -349,7 +355,7 @@ def _knn_kernel(k: int, s_valid: int):
         # comes out of the same dot and dmin = |x_sel - t|^2 by direct
         # subtraction.
         fx = jnp.concatenate(
-            [fhi, src9_ref[0, 0:3], flo, src9_ref[0, 6:9]], axis=0
+            [fhi, src11_ref[0, 0:3], flo, src11_ref[0, 6:9]], axis=0
         )  # (2F+6, S)
         f = featst.shape[0]
         acc = jnp.zeros((out_ref.shape[1], tc), jnp.float32)
@@ -435,8 +441,16 @@ def _knn_pallas_raw(x_src, pos_src, pos_tgt, k: int, tc: int = 0):
     n_chunks = tpad // tc
 
     srct = jnp.swapaxes(pos_src.astype(jnp.float32), 1, 2)  # (B, 3, S)
-    src9 = _hilo9_rows(srct)
     sn = jnp.sum(srct * srct, axis=1, keepdims=True)  # (B, 1, S)
+    snh = jax.lax.reduce_precision(sn, exponent_bits=8, mantissa_bits=7)
+    src11 = jnp.concatenate(
+        [
+            _hilo9_rows(srct),
+            snh.astype(jnp.bfloat16),
+            (sn - snh).astype(jnp.bfloat16),
+        ],
+        axis=1,
+    )  # (B, 11, S): [x9 | sn_hi | sn_lo], pairs the kernel's t11t
     tgtt = jnp.swapaxes(pos_tgt.astype(jnp.float32), 1, 2)  # (B, 3, Tpad)
     xt = jnp.swapaxes(x_src.astype(jnp.float32), 1, 2)  # (B, F, S)
 
@@ -446,8 +460,7 @@ def _knn_pallas_raw(x_src, pos_src, pos_tgt, k: int, tc: int = 0):
         grid=(b, n_chunks),
         in_specs=[
             pl.BlockSpec((1, 3, tc), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 9, s), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, s), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 11, s), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, f, s), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(
@@ -461,7 +474,7 @@ def _knn_pallas_raw(x_src, pos_src, pos_tgt, k: int, tc: int = 0):
             _sds((b, k, tpad), jnp.float32, like=xt),
         ),
         interpret=jax.default_backend() != "tpu",
-    )(tgtt, src9, sn, xt)
+    )(tgtt, src11, xt)
     out = jnp.swapaxes(outt, 1, 2)
     # idx/w stay in their (B, k, T) layout — consumed only by the scatter VJP
     return out[:, :t], idx[:, :, :t], w[:, :, :t]
