@@ -133,6 +133,26 @@ class TestBallQuery:
         assert not np.any(np.asarray(mask))
         assert np.all(np.asarray(idx) == 0)
 
+    def test_grouped_pallas_pad_points_never_selected(self, rng):
+        """Round-5 poisoned-pn masking regression: group padding sits at the
+        ZERO coordinates in the grouped layout, so a centroid at the origin
+        with all real points far away would select a pad slot if the poison
+        (1e30 pn rows, replacing the old in-kernel pad where) ever broke."""
+        from stratanet2_tpu.ops.pallas_kernels import ball_query_grouped_pallas
+
+        n, k = 250, 16  # k*g_real = 256 > n: 6 poisoned tail slots
+        pts = rng.normal(size=(1, n, 3)).astype(np.float32)
+        pts += 50.0 * np.sign(pts + 1e-9)  # keep every real point far out
+        cen = np.zeros((1, 2, 3), np.float32)
+        cen[0, 1] = pts[0, 37]  # sanity: a reachable centroid
+        idx, mask = ball_query_grouped_pallas(
+            jnp.asarray(cen), jnp.asarray(pts), radius=2.0, k=k
+        )
+        idx, mask = np.asarray(idx), np.asarray(mask)
+        assert not mask[0, 0].any(), "pad slot selected by origin centroid"
+        assert mask[0, 1].any()
+        assert np.all(idx[0, 1][mask[0, 1]] < n)
+
     def test_grouped_matches_oracle(self, rng):
         pts = rng.normal(size=(130, 3)).astype(np.float32)  # non-divisible N
         cen = rng.normal(size=(20, 3)).astype(np.float32)
