@@ -83,7 +83,9 @@ def chain_main(args):
     t0 = _time.perf_counter()
     tiles = []
     for i in range(b):
-        rasters = reference_rasterize_plot(cov[i].T, xyz[i, :, :2].T, dp, dm)
+        rasters = reference_rasterize_plot(
+            cov[i].T, xyz[i, :, :2].T / 10.0, dp, dm  # rescaled xy, as fed
+        )
         tiles.append(reference_weight_bands(rasters, dp))
     t_raster = _time.perf_counter() - t0
 

@@ -482,7 +482,9 @@ def reference_rasterize_plot(
     SURVEY §3.5 #3 — kept deliberately, this oracle measures the
     reference's cost structure), NaN-filled images, y flip.
 
-    coverages_pointwise (C>=4, N), xy (2, N) centered meters ->
+    coverages_pointwise (C>=4, N), xy (2, N) RESCALED coordinates
+    (centered meters / 10 — the model input features the reference feeds
+    this function, data_loader/loader.py:135-158) ->
     (3, diam_pix, diam_pix)."""
     import torch
     import torch.nn as nn
