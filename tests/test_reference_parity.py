@@ -344,3 +344,28 @@ class TestServeChainOracleParity:
             np.nan_to_num(want[:3].astype(np.float32)),
             rtol=1e-5, atol=1e-6,
         )
+
+    def test_hard_med_veg_band_matches_reference_scan(self):
+        """Our vectorized sorted-counts hard-Vm threshold selection equals
+        the reference's 10,001-iteration Python scan (oracle form,
+        geotiff_raster.py:121-146) — same inserted band, bit-for-bit."""
+        from stratanet2_tpu.inference.rasters import (
+            insert_hard_med_veg_raster_band,
+        )
+        from stratanet2_tpu.utils.reference_oracle import (
+            reference_hard_med_veg_band,
+        )
+
+        rng = np.random.default_rng(3)
+        for trial in range(3):
+            mosaic = rng.uniform(0, 1, (4, 25, 30))
+            mosaic[1, rng.integers(0, 25, 60), rng.integers(0, 30, 60)] = np.nan
+            got = insert_hard_med_veg_raster_band(mosaic.astype(np.float32))
+            want = reference_hard_med_veg_band(mosaic.copy())
+            np.testing.assert_array_equal(
+                np.isnan(got[3]), np.isnan(want[3]), err_msg=f"trial {trial}"
+            )
+            np.testing.assert_allclose(
+                np.nan_to_num(got[3]), np.nan_to_num(want[3]),
+                atol=0, err_msg=f"trial {trial}",
+            )
