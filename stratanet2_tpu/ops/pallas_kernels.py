@@ -2041,7 +2041,25 @@ def _sa_train_for(k: int, two_layer: bool):
         b, n, c1 = q.shape
         c = cterm.shape[1]
         c2 = w2.shape[1] if two_layer else c1
-        qg, ctermt, idxp, maskp, geo = _sa_layouts(q, cterm, idx, mask, k, 512)
+        # Centroid-chunk size: the round-3b kNN lesson (tile size beats
+        # micro-optimizations) applies here too — the r5 sweep on the v5e
+        # measured cc 512 -> 1024 -> 1280 -> 2560 (whole-C) cutting the
+        # three SA train kernels 4.52 -> 2.32 ms combined (per-chunk fixed
+        # work, not arithmetic, was the cost). Default: whole padded C,
+        # bounded by ~3 live (G, cc) tiles against a 12 MiB budget.
+        # STRATANET2_SA_TRAIN_CC overrides.
+        g_tmp = _round_up(-(-n // k), _LANE)
+        cc_def = max(
+            512,
+            min(
+                (12 * 2**20 // (g_tmp * 12)) // _LANE * _LANE,
+                _round_up(c, _LANE),
+            ),
+        )
+        qg, ctermt, idxp, maskp, geo = _sa_layouts(
+            q, cterm, idx, mask, k,
+            int(os.environ.get("STRATANET2_SA_TRAIN_CC", cc_def)),
+        )
         m_edges = jnp.maximum(jnp.sum(mask.astype(jnp.float32)), 1.0)
         shift_l = shift2 if two_layer else shift1
 
