@@ -546,7 +546,8 @@ def _knn_scatter_pallas(idx, w, g, s: int):
     """
     b, k, t = idx.shape
     f = g.shape[2]
-    tc = max(128, min(512, _round_up(t, 128) // max(1, t // 512)))
+    tc_cap = int(os.environ.get("STRATANET2_KNN_SCATTER_TC", 512))
+    tc = max(128, min(tc_cap, _round_up(t, 128) // max(1, t // tc_cap)))
     tc = min(tc, _round_up(t, 8))
     tpad = _round_up(t, tc)
     if tpad != t:
