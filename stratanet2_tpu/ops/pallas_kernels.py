@@ -1125,7 +1125,7 @@ def sa_fused_eval(
     w2, b2, a2, c2,  # layer 2 (or None for single-layer MLPs)
     radius: float,
     k: int,
-    cc: int = 1024,  # centroid chunk; larger tiles use the VPU far better
+    cc: int = 0,  # centroid chunk; 0 = adaptive whole-C (see below)
 ) -> jax.Array:
     b, n, ch1 = q.shape
     c = centroids.shape[1]
@@ -1134,6 +1134,16 @@ def sa_fused_eval(
 
     g_real = -(-n // k)
     g = _round_up(g_real, _LANE)
+    if cc <= 0:
+        # Adaptive whole-C chunk (r5 tile-size lesson, measured: PROD
+        # serve fwd 6.20 -> 5.78 ms at whole C=2500 vs cc=1024 — the
+        # per-chunk fixed work outweighed the smaller live tiles even
+        # at blk=1), bounded so the (G, cc) f32 distance tile stays
+        # within the block budget. STRATANET2_SA_EVAL_CC overrides.
+        cc = int(os.environ.get("STRATANET2_SA_EVAL_CC", 0)) or max(
+            1024,
+            min(_round_up(c, _LANE), (6 * 2**20 // (g * 4)) // _LANE * _LANE),
+        )
     cc = min(cc, c)
     # Compact-q (see _sa_kernel): engages for narrow groups, where blk is
     # pinned to LANE/g_real so each block's groups span exactly one
